@@ -1,0 +1,93 @@
+package graft.canon
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components via alternating large-star / small-star rounds
+  * implemented as iterative DataFrame self-joins under AQE — the exact
+  * algorithm the north rule mandates (Kiveris et al., "Connected
+  * Components in MapReduce and Beyond", SoCC'14).
+  *
+  * Reference semantics anchor: the recursive-DFS component finder at
+  * /root/reference/src/knowledge-graph/extract.py:33-52 — single-process
+  * and stack-bound; this version converges in O(log n) rounds and scales
+  * to arbitrary edge counts because each round is two shuffles on the
+  * (node -> neighbors) grouping.
+  *
+  * Node ids are treated as an ordered opaque column (strings order
+  * lexicographically; dictionary-encode to longs upstream when shuffle
+  * width matters). Every round the plan lineage is truncated with
+  * localCheckpoint — otherwise Catalyst re-analysis grows superlinearly
+  * (SURVEY.md §4 item 2).
+  */
+object ConnectedComponents {
+
+  /** Canonical undirected edge list: a < b, distinct, no self-loops. */
+  private def canonical(edges: DataFrame): DataFrame = {
+    val (a, b) = (col(edges.columns(0)), col(edges.columns(1)))
+    edges
+      .filter(a =!= b)
+      .select(least(a, b).as("a"), greatest(a, b).as("b"))
+      .distinct()
+  }
+
+  /** Large-star: for each node u, m = min(N(u) ∪ {u}); emit (v, m) for
+    * every strictly larger neighbor v.
+    */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val und = e.union(e.select(col("b").as("a"), col("a").as("b"))) // (u=a, v=b)
+    val mins = und.groupBy(col("a").as("u"))
+      .agg(least(min(col("b")), first(col("a"))).as("m"))
+    und.join(mins, und("a") === mins("u"))
+      .filter(col("b") > col("a"))
+      .select(col("m").as("a"), col("b")) // m <= u < v, already canonical
+  }
+
+  /** Small-star: for each node u, over smaller neighbors N-(u):
+    * m = min(N-(u) ∪ {u}); emit (v, m) for v in N-(u) and (u, m).
+    */
+  private def smallStar(e: DataFrame): DataFrame = {
+    // lower = (u, v) with v < u  ==  canonical rows read as (v=a, u=b)
+    val mins = e.groupBy(col("b").as("u")).agg(min(col("a")).as("m"))
+    val rewired = e.join(mins, e("b") === mins("u"))
+      .filter(col("a") =!= col("m"))
+      .select(col("m").as("a"), col("a").as("b")) // m < v always
+    val self = mins.select(col("m").as("a"), col("u").as("b"))
+    rewired.union(self)
+  }
+
+  private def checksum(e: DataFrame): (BigDecimal, Long) = {
+    // decimal(38,0) sum: ANSI mode (Spark 4 default) would throw on a
+    // wrapped long sum of 64-bit hashes
+    val r = e.agg(
+      coalesce(sum(xxhash64(col("a"), col("b")).cast("decimal(38,0)")), lit(BigDecimal(0))),
+      count(lit(1))).collect()(0)
+    (BigDecimal(r.getDecimal(0)), r.getLong(1))
+  }
+
+  /** edges(any two columns) -> (id, component) for every node appearing
+    * in an edge; component = min node id of the component.
+    */
+  def run(edges: DataFrame, maxIter: Int = 50): DataFrame = {
+    var e = canonical(edges).localCheckpoint(true)
+    var prev = checksum(e)
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIter) {
+      val next = canonical(smallStar(largeStar(e))).localCheckpoint(true)
+      val cur = checksum(next)
+      converged = cur == prev
+      prev = cur
+      e = next
+      it += 1
+    }
+    // fixpoint is a star forest: a = component root, b = member.
+    // A node can appear with several parents mid-convergence; min() is a
+    // safe final projection.
+    val members = e.groupBy(col("b").as("id")).agg(min(col("a")).as("component"))
+    val roots = e.select(col("a")).distinct()
+      .join(members.select(col("id")), col("a") === col("id"), "left_anti")
+      .select(col("a").as("id"), col("a").as("component"))
+    members.union(roots)
+  }
+}

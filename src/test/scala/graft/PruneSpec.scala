@@ -1,0 +1,159 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.Ids
+import graft.fixtures.Fixtures
+import graft.link.SkewJoin
+import graft.prune.{AntiJoinReconcile, AssertionPruning, Splits}
+
+class PruneSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // ----------------------------------------------------- pruning contract
+
+  test("uncertainty formula: documented example score 0.52 -> 0.96") {
+    // reference /root/reference/src/gnn/README_HITL.md:150-158
+    val scored = Seq(
+      ("e1", "s", "p", "o", 1L, 0.9, 1.0, 1.0, 2L, 0.52),
+      ("e2", "s", "p", "o", 1L, 0.9, 1.0, 1.0, 2L, 0.99),
+      ("e3", "s", "p", "o", 1L, 0.9, 1.0, 1.0, 2L, 0.07))
+      .toDF("edge_id", "subject", "predicate", "object",
+        "support", "conf", "type_ok", "card_ok", "subj_degree", "score")
+    val review = AssertionPruning.reviewQueue(scored, 3).collect()
+    val byId = review.map(r => r.getAs[String]("edge_id") -> r.getAs[Double]("uncertainty")).toMap
+    assert(math.abs(byId("e1") - 0.96) < 1e-9)
+    // ordering: most uncertain first
+    assert(review.map(_.getAs[String]("edge_id")).head == "e1")
+    assert(review.forall(_.getAs[String]("status") == "pending"))
+  }
+
+  test("threshold filter keeps exactly score >= thr (score_all_edges.py:152-155)") {
+    val scored = (1 to 100).map(i =>
+      (s"e$i", "s", "p", s"o$i", 1L, 1.0, 1.0, 1.0, 1L, i / 100.0))
+      .toDF("edge_id", "subject", "predicate", "object",
+        "support", "conf", "type_ok", "card_ok", "subj_degree", "score")
+    val kept = AssertionPruning.prune(scored, 0.6)
+    assert(kept.count() == 41) // 0.60 .. 1.00 inclusive
+    assert(kept.agg(min("score")).as[Double].head() >= 0.6)
+  }
+
+  test("type-violating triples score below threshold; valid ones above") {
+    val cfg = Fixtures.tiny
+    val ontology = Fixtures.ontology(spark, cfg)
+    // valid: CHEBI treats MONDO; garbage: CHEBI treats GO (obj not allowed)
+    val linked = Seq(
+      ("CHEBI:10002", "biolink:treats", "MONDO:10000", "u1", 0.8),
+      ("CHEBI:10002", "biolink:treats", "GO:10003", "u1", 0.8))
+      .toDF("subject", "predicate", "object", "url", "link_conf")
+    val scored = AssertionPruning.score(linked, ontology)
+    val good = scored.where($"object" === "MONDO:10000").select("score").as[Double].head()
+    val bad = scored.where($"object" === "GO:10003").select("score").as[Double].head()
+    assert(good >= AssertionPruning.defaultThreshold)
+    assert(bad < AssertionPruning.defaultThreshold)
+  }
+
+  test("functional-predicate cardinality window penalizes multi-object subjects") {
+    val cfg = Fixtures.tiny
+    val ontology = Fixtures.ontology(spark, cfg)
+    // located_in is functional; HGNC:x located_in two GOs
+    val linked = Seq(
+      ("HGNC:10001", "biolink:located_in", "GO:10003", "u1", 0.9),
+      ("HGNC:10001", "biolink:located_in", "GO:10008", "u2", 0.9),
+      ("HGNC:10006", "biolink:located_in", "GO:10003", "u3", 0.9))
+      .toDF("subject", "predicate", "object", "url", "link_conf")
+    val scored = AssertionPruning.score(linked, ontology)
+    val multi = scored.where($"subject" === "HGNC:10001").select("card_ok").as[Double].collect()
+    val single = scored.where($"subject" === "HGNC:10006").select("card_ok").as[Double].collect()
+    assert(multi.forall(_ == 0.5))
+    assert(single.forall(_ == 1.0))
+  }
+
+  test("evidence counts distinct supporting urls (map-side-combinable path)") {
+    val linked = Seq(
+      ("A:1", "p", "B:1", "u1", 0.7),
+      ("A:1", "p", "B:1", "u1", 0.9), // same url twice
+      ("A:1", "p", "B:1", "u2", 0.6))
+      .toDF("subject", "predicate", "object", "url", "link_conf")
+    val ev = AssertionPruning.evidence(linked).collect()
+    assert(ev.length == 1)
+    assert(ev.head.getAs[Long]("support") == 2L)
+    assert(ev.head.getAs[Double]("conf") == 0.9)
+  }
+
+  // ------------------------------------------------- anti-join reconcile
+
+  test("anti-join reconciliation: row count conserved, refilled pairs win") {
+    val orig = Seq(
+      ("s1", "orig_p", "o1"), ("s2", "orig_p", "o2"), ("s3", "orig_p", "o3"))
+      .toDF("subject", "predicate", "object")
+    val refilled = Seq(
+      ("s2", "new_p", "o2"), ("s9", "new_p", "o9")) // s9 not in orig: dropped
+      .toDF("subject", "predicate", "object")
+    val out = AntiJoinReconcile.reconcileChecked(orig, refilled)
+    val rows = out.as[(String, String, String)].collect().toSet
+    assert(rows == Set(
+      ("s1", "orig_p", "o1"), ("s2", "new_p", "o2"), ("s3", "orig_p", "o3")))
+  }
+
+  test("anti-join algebra property: anti ⊎ semi ≡ original keys (seeded)") {
+    (0 until 5).foreach { trial =>
+      val orig = (0 until 50).map { i =>
+        val h = Ids.mix64(trial * 77L + i)
+        (s"s${math.abs(h % 20)}", "p0", s"o${math.abs(Ids.mix64(h) % 20)}")
+      }.distinct.toDF("subject", "predicate", "object")
+      val refilled = (0 until 30).map { i =>
+        val h = Ids.mix64(trial * 991L + i + 7)
+        (s"s${math.abs(h % 20)}", "p1", s"o${math.abs(Ids.mix64(h) % 20)}")
+      }.distinct.toDF("subject", "predicate", "object")
+      val out = AntiJoinReconcile.reconcile(orig, refilled)
+      // key multiset of output == key multiset of original
+      val k0 = orig.select("subject", "object").as[(String, String)].collect().sorted.toSeq
+      val k1 = out.select("subject", "object").as[(String, String)].collect().sorted.toSeq
+      assert(k0 == k1, s"trial $trial")
+    }
+  }
+
+  // -------------------------------------------------------------- splits
+
+  test("seeded split: deterministic, ratios sane, leakage guard passes") {
+    val triples = (0 until 2000).map(i => (s"s$i", "p", s"o$i"))
+      .toDF("subject", "predicate", "object")
+    val withSplit = Splits.assign(triples)
+    Splits.checkNoLeakage(withSplit)
+    val counts = withSplit.groupBy("split").count()
+      .as[(String, Long)].collect().toMap
+    assert(math.abs(counts("train") / 2000.0 - 0.70) < 0.05)
+    assert(math.abs(counts("valid") / 2000.0 - 0.15) < 0.04)
+    assert(math.abs(counts("test") / 2000.0 - 0.15) < 0.04)
+    // determinism
+    val again = Splits.assign(triples).groupBy("split").count()
+      .as[(String, Long)].collect().toMap
+    assert(again == counts)
+  }
+
+  test("leakage guard throws on overlapping splits") {
+    val bad = Seq(("s", "p", "o", "train"), ("s", "p", "o", "test"))
+      .toDF("subject", "predicate", "object", "split")
+    assertThrows[IllegalStateException](Splits.checkNoLeakage(bad))
+  }
+
+  // ------------------------------------------------------------ skew join
+
+  test("salted join result is identical to the plain join (seeded skew)") {
+    val big = (0 until 3000).map { i =>
+      val key = if (i % 5 != 0) "hub" else s"k${i % 97}" // 80% hub skew
+      (key, i.toLong)
+    }.toDF("k", "payload")
+    val small = (Seq("hub") ++ (0 until 97).map(i => s"k$i")).zipWithIndex
+      .toDF("k", "v")
+    val plain = big.join(small, Seq("k")).select("k", "payload", "v")
+      .as[(String, Long, Int)].collect().sorted.toSeq
+    val salted = SkewJoin.salted(big, small, Seq("k"), 8, Seq(col("payload")))
+      .select("k", "payload", "v")
+      .as[(String, Long, Int)].collect().sorted.toSeq
+    assert(salted == plain)
+  }
+}
