@@ -8,23 +8,24 @@ import org.apache.spark.sql.functions._
   *
   * The reference shuffles with random.seed(42) and slices 70/15/15. A
   * distributed equivalent must be retry-stable AND engine-portable, so
-  * the split coordinate is a pure hash of the row key: the first 8 hex
-  * chars of md5(subject|predicate|object|seed) mapped to [0,1). The same
-  * expression is writable in any SQL engine (DuckDB oracle parity).
+  * the split coordinate is a pure hash of the row key: the first byte of
+  * md5(subject|predicate|object|seed), compared lexicographically on the
+  * hex string ('b3'/256 = 0.6992, 'd8'/256 = 0.8438 — i.e. ~70/15/15).
+  * Hex-prefix comparison is writable identically in any SQL engine
+  * (DuckDB oracle parity; no conv() needed).
   */
 object Splits {
 
-  /** u in [0,1) from the row content, deterministic. */
-  def unitHash(seed: Long): org.apache.spark.sql.Column =
-    conv(substring(md5(concat_ws("|",
-      col("subject"), col("predicate"), col("object"), lit(seed.toString))), 1, 8), 16, 10)
-      .cast("double") / lit(4294967296.0)
+  /** First two hex chars of the seeded row hash. */
+  def hashPrefix(seed: Long): org.apache.spark.sql.Column =
+    substring(md5(concat_ws("|",
+      col("subject"), col("predicate"), col("object"), lit(seed.toString))), 1, 2)
 
-  /** Adds a `split` column: train/valid/test at 70/15/15. */
+  /** Adds a `split` column: train/valid/test at ~70/15/15. */
   def assign(triples: DataFrame, seed: Long = 42L): DataFrame =
     triples.withColumn("split",
-      when(unitHash(seed) < 0.7, "train")
-        .when(unitHash(seed) < 0.85, "valid")
+      when(hashPrefix(seed) < "b3", "train")
+        .when(hashPrefix(seed) < "d8", "valid")
         .otherwise("test"))
 
   /** Leakage guard: any (s,p,o) overlap between splits fails the job —

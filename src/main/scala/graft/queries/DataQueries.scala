@@ -1,0 +1,371 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.queries.Q._
+
+/** Driver-contract queries for the training-data-pipeline operators:
+  * text analysis, deduplication, similarity search, plus string/scalar
+  * functions and time windows (SURVEY.md §2.8; builder-prompt ops).
+  */
+object DataQueries {
+
+  // ---------------------------------------------------------- helpers
+
+  /** whitespace tokens */
+  private def toks: Column = split(col("text"), " ")
+
+  /** 3-gram word shingles of the token array (1-based element_at;
+    * sequence(0, n) is INCLUSIVE so n = size-3 yields size-2 shingles,
+    * matching DuckDB range(len-2)).
+    */
+  private def shingles(t: Column): Column =
+    transform(sequence(lit(0), size(t) - 3), i =>
+      concat_ws(" ", element_at(t, i + 1), element_at(t, i + 2), element_at(t, i + 3)))
+
+  private val shinglesSqlDuck =
+    "list_transform(range(len(t) - 2), i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])"
+
+  /** min-hash signature component k (string-min of seeded md5 —
+    * lexicographic min agrees across engines); DuckDB oracle form.
+    */
+  private def minhashSqlDuck(k: Int) =
+    s"list_min(list_transform(sh, s -> md5('$k:' || s)))"
+
+  val all: Seq[QueryDef] = Seq(
+
+    // ------------------------------------------- string / scalar (§2.8)
+    QueryDef("q29_edge_ids",
+      // edge_id s_p_o (score_edges.py:98) + pair key s|||o (cell 20)
+      (s, d) => triples(s, d).select("subject", "predicate", "object").distinct()
+        .select(
+          concat_ws("_", col("subject"), col("predicate"), col("object")).as("edge_id"),
+          concat_ws("|||", col("subject"), col("object")).as("pair_key")),
+      Some(s"""SELECT subject || '_' || predicate || '_' || "object" AS edge_id,
+              |       subject || '|||' || "object" AS pair_key
+              |FROM (SELECT DISTINCT subject, predicate, "object" FROM ($triplesSql) x) t""".stripMargin)),
+
+    QueryDef("q30_ntriples_format",
+      // N-Triples sink line format (extract.py:146)
+      (s, d) => triples(s, d).select("subject", "predicate", "object").distinct()
+        .select(format_string("<%s> <%s> <%s> .",
+          col("subject"), col("predicate"), col("object")).as("line")),
+      Some(s"""SELECT printf('<%s> <%s> <%s> .', subject, predicate, "object") AS line
+              |FROM (SELECT DISTINCT subject, predicate, "object" FROM ($triplesSql) x) t""".stripMargin)),
+
+    QueryDef("q31_regex_extract_props",
+      // numbered-line / key parse via regex (cell 12 l.103-106)
+      (s, d) => table(s, d, "events")
+        .select(col("event_id"),
+          regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("int").as("k")),
+      Some("""SELECT event_id,
+             |       CAST(regexp_extract(props, '"k": (\d+)', 1) AS INTEGER) AS k
+             |FROM events""".stripMargin)),
+
+    QueryDef("q32_scrub_filter",
+      // affiliation-line scrub: explode + rlike drop (cell 16 l.32-36)
+      (s, d) => table(s, d, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        .filter(!col("word").rlike("^(the|a|of)$"))
+        .groupBy("doc_id").agg(count(lit(1)).as("kept_words")),
+      Some("""SELECT doc_id, count(*) AS kept_words FROM
+             |(SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents) w
+             |WHERE NOT regexp_matches(word, '^(the|a|of)$')
+             |GROUP BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------- pruning contract
+    QueryDef("q33_prune_threshold",
+      // terminal pruning predicate (score_all_edges.py:152-155)
+      (s, d) => scored(s, d).filter(col("score") >= 0.6)
+        .select("edge_id", "score"),
+      Some(s"""SELECT edge_id, score FROM ($scoredSql) se WHERE score >= 0.6""")),
+
+    QueryDef("q34_review_records",
+      // review JSONL shape (select_edges_for_review.py:53-59)
+      (s, d) => scored(s, d)
+        .withColumn("uncertainty", round(lit(1.0) - abs(col("score") - 0.5) * 2.0, 6))
+        .withColumn("status", lit("pending"))
+        .orderBy(col("uncertainty").desc, col("edge_id")).limit(25)
+        .select("edge_id", "score", "uncertainty", "status"),
+      Some(s"""SELECT edge_id, score,
+              |  round(1.0 - abs(score - 0.5) * 2.0, 6) AS uncertainty,
+              |  'pending' AS status
+              |FROM ($scoredSql) se
+              |ORDER BY uncertainty DESC, edge_id LIMIT 25""".stripMargin)),
+
+    // ------------------------------------------------- text analysis
+    QueryDef("q35_token_stats",
+      // token counting + LLM token estimate len*1.3 (cell 12 l.140-142)
+      (s, d) => table(s, d, "documents").select(
+        col("doc_id"),
+        size(toks).as("n_tokens"),
+        round(size(toks) * 1.3, 2).as("est_llm_tokens")),
+      Some("""SELECT doc_id,
+             |  len(string_split(text, ' ')) AS n_tokens,
+             |  round(len(string_split(text, ' ')) * CAST(1.3 AS DOUBLE), 2) AS est_llm_tokens
+             |FROM documents""".stripMargin)),
+
+    QueryDef("q36_quality_score",
+      // quality: stopword ratio, mean token length, length prior
+      (s, d) => table(s, d, "documents")
+        .withColumn("t", toks)
+        .select(
+          col("doc_id"),
+          size(col("t")).as("n_tokens"),
+          round(size(filter(col("t"), x => x.isin("the", "a", "of"))).cast("double") /
+            size(col("t")), 6).as("stop_ratio"),
+          round(aggregate(col("t"), lit(0L), (acc, x) => acc + length(x)).cast("double") /
+            size(col("t")), 6).as("mean_tok_len"),
+          round(least(size(col("t")).cast("double") / 100.0, lit(1.0)) * 0.5 +
+            size(filter(col("t"), x => x.isin("the", "a", "of"))).cast("double") /
+              size(col("t")) * 0.5, 6).as("quality")),
+      Some("""SELECT doc_id,
+             |  len(t) AS n_tokens,
+             |  round(CAST(len(list_filter(t, x -> x IN ('the','a','of'))) AS DOUBLE) / len(t), 6) AS stop_ratio,
+             |  round(CAST(list_sum(list_transform(t, x -> strlen(x))) AS DOUBLE) / len(t), 6) AS mean_tok_len,
+             |  round(least(CAST(len(t) AS DOUBLE) / 100.0, 1.0) * 0.5 +
+             |        CAST(len(list_filter(t, x -> x IN ('the','a','of'))) AS DOUBLE) / len(t) * 0.5, 6) AS quality
+             |FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents) d""".stripMargin)),
+
+    QueryDef("q37_langid",
+      // n-gram/stopword-heuristic language id
+      (s, d) => {
+        val t = toks
+        val en = size(filter(t, x => x.isin("the", "a", "of", "and")))
+        val de = size(filter(t, x => x.isin("der", "die", "das", "und")))
+        val fr = size(filter(t, x => x.isin("le", "les", "et")))
+        table(s, d, "documents").select(
+          col("doc_id"), col("lang"),
+          en.as("en_hits"), de.as("de_hits"), fr.as("fr_hits"),
+          when(en >= de && en >= fr && en > 0, "en")
+            .when(de >= fr && de > 0, "de")
+            .when(fr > 0, "fr")
+            .otherwise("unknown").as("lang_guess"))
+      },
+      Some("""SELECT doc_id, lang,
+             |  len(list_filter(t, x -> x IN ('the','a','of','and'))) AS en_hits,
+             |  len(list_filter(t, x -> x IN ('der','die','das','und'))) AS de_hits,
+             |  len(list_filter(t, x -> x IN ('le','les','et'))) AS fr_hits,
+             |  CASE
+             |    WHEN len(list_filter(t, x -> x IN ('the','a','of','and'))) >= len(list_filter(t, x -> x IN ('der','die','das','und')))
+             |     AND len(list_filter(t, x -> x IN ('the','a','of','and'))) >= len(list_filter(t, x -> x IN ('le','les','et')))
+             |     AND len(list_filter(t, x -> x IN ('the','a','of','and'))) > 0 THEN 'en'
+             |    WHEN len(list_filter(t, x -> x IN ('der','die','das','und'))) >= len(list_filter(t, x -> x IN ('le','les','et')))
+             |     AND len(list_filter(t, x -> x IN ('der','die','das','und'))) > 0 THEN 'de'
+             |    WHEN len(list_filter(t, x -> x IN ('le','les','et'))) > 0 THEN 'fr'
+             |    ELSE 'unknown' END AS lang_guess
+             |FROM (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents) d""".stripMargin)),
+
+    QueryDef("q38_fingerprint",
+      // document fingerprint: md5 of whitespace-normalized lowercase text
+      (s, d) => table(s, d, "documents").select(
+        col("doc_id"),
+        md5(lower(regexp_replace(col("text"), "\\s+", " "))).as("fp")),
+      Some("""SELECT doc_id,
+             |  md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
+             |FROM documents""".stripMargin)),
+
+    // ------------------------------------------------------- dedup
+    QueryDef("q39_dedup_exact",
+      // exact dedup: keeper = min doc_id per fingerprint
+      (s, d) => table(s, d, "documents")
+        .select(col("doc_id"), md5(lower(col("text"))).as("fp"))
+        .groupBy("fp")
+        .agg(min("doc_id").as("keeper"), count(lit(1)).as("copies")),
+      Some("""SELECT md5(lower(text)) AS fp, min(doc_id) AS keeper, count(*) AS copies
+             |FROM documents GROUP BY fp""".stripMargin)),
+
+    QueryDef("q40_minhash_lsh",
+      // MinHash+LSH near-dup: 4 seeded string-min hashes, 2 bands,
+      // bucket join -> candidate pairs
+      (s, d) => {
+        val docs = table(s, d, "documents")
+          .withColumn("t", toks).filter(size(col("t")) >= 3)
+          .withColumn("sh", shingles(col("t")))
+        // all 4 signature components in ONE pass over the shingle array
+        // (running struct of mins) instead of 4 transform+array_min scans
+        val top = "ffffffffffffffffffffffffffffffff"
+        val sig0 = struct(lit(top).as("s0"), lit(top).as("s1"),
+          lit(top).as("s2"), lit(top).as("s3"))
+        val sigAgg = aggregate(col("sh"), sig0, (acc, sh) => struct(
+          least(acc("s0"), md5(concat(lit("0:"), sh))).as("s0"),
+          least(acc("s1"), md5(concat(lit("1:"), sh))).as("s1"),
+          least(acc("s2"), md5(concat(lit("2:"), sh))).as("s2"),
+          least(acc("s3"), md5(concat(lit("3:"), sh))).as("s3")))
+        val sig = docs.select(col("doc_id"), sigAgg.as("sig"))
+          .select(col("doc_id"), col("sig.s0").as("s0"), col("sig.s1").as("s1"),
+            col("sig.s2").as("s2"), col("sig.s3").as("s3"))
+        val bands = sig.select(col("doc_id"), md5(concat(col("s0"), col("s1"))).as("band"))
+          .unionAll(sig.select(col("doc_id"), md5(concat(col("s2"), col("s3"))).as("band")))
+        val b2 = bands.withColumnRenamed("doc_id", "id2")
+        bands.join(b2, Seq("band")).filter(col("doc_id") < col("id2"))
+          .select(col("doc_id").as("id1"), col("id2")).distinct()
+      },
+      Some(s"""WITH docs AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+              |sh AS (SELECT doc_id, $shinglesSqlDuck AS sh FROM docs WHERE len(t) >= 3),
+              |sig AS (SELECT doc_id,
+              |  ${minhashSqlDuck(0)} AS s0, ${minhashSqlDuck(1)} AS s1,
+              |  ${minhashSqlDuck(2)} AS s2, ${minhashSqlDuck(3)} AS s3 FROM sh),
+              |bands AS (SELECT doc_id, md5(s0 || s1) AS band FROM sig
+              |          UNION ALL SELECT doc_id, md5(s2 || s3) FROM sig)
+              |SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+              |FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id""".stripMargin)),
+
+    QueryDef("q41_ngram_jaccard",
+      // n-gram Jaccard near-dup over a bounded candidate set
+      (s, d) => {
+        val sh = table(s, d, "documents").filter(col("doc_id") < 200)
+          .withColumn("t", toks).filter(size(col("t")) >= 3)
+          .select(col("doc_id"), explode(array_distinct(shingles(col("t")))).as("sh"))
+        val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        val inter = sh.join(sh.select(col("doc_id").as("id2"), col("sh")), Seq("sh"))
+          .filter(col("doc_id") < col("id2"))
+          .groupBy(col("doc_id").as("id1"), col("id2")).agg(count(lit(1)).as("inter"))
+        inter
+          .join(cnt.select(col("doc_id").as("id1"), col("n").as("n1")), Seq("id1"))
+          .join(cnt.select(col("doc_id").as("id2"), col("n").as("n2")), Seq("id2"))
+          .withColumn("jaccard", round(col("inter").cast("double") /
+            (col("n1") + col("n2") - col("inter")), 6))
+          .filter(col("jaccard") >= 0.02)
+          .select("id1", "id2", "inter", "jaccard")
+      },
+      Some(s"""WITH docs AS (SELECT doc_id, string_split(text, ' ') AS t
+              |             FROM documents WHERE doc_id < 200),
+              |sh AS (SELECT doc_id, unnest(list_distinct($shinglesSqlDuck)) AS sh
+              |       FROM docs WHERE len(t) >= 3),
+              |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+              |inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
+              |          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+              |          GROUP BY a.doc_id, b.doc_id)
+              |SELECT id1, id2, inter,
+              |       round(CAST(inter AS DOUBLE) / (c1.n + c2.n - inter), 6) AS jaccard
+              |FROM inter
+              |JOIN cnt c1 ON c1.doc_id = id1
+              |JOIN cnt c2 ON c2.doc_id = id2
+              |WHERE round(CAST(inter AS DOUBLE) / (c1.n + c2.n - inter), 6) >= 0.02""".stripMargin)),
+
+    // -------------------------------------------------- similarity
+    QueryDef("q42_cosine_topk",
+      // brute-force cosine top-3 per query vector (HOF dot product)
+      (s, d) => {
+        val emb = table(s, d, "embeddings")
+          .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+        val q = emb.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("qid"), col("v").as("qv"))
+        val dot = aggregate(zip_with(col("qv"), col("v"), (x, y) => x * y),
+          lit(0.0), (acc, x) => acc + x)
+        val nrm = (a: Column) => sqrt(aggregate(transform(a, x => x * x),
+          lit(0.0), (acc, x) => acc + x))
+        val scored = q.crossJoin(emb).filter(col("vec_id") =!= col("qid"))
+          .withColumn("cos", round(dot / (nrm(col("qv")) * nrm(col("v"))), 6))
+        scored.withColumn("rn", row_number().over(
+          Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))))
+          .filter(col("rn") <= 3)
+          .select(col("qid"), col("vec_id").as("nn_id"), col("cos"), col("rn"))
+      },
+      Some("""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             |          FROM embeddings),
+             |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 20),
+             |scored AS (SELECT qid, vec_id,
+             |  round(list_sum(list_transform(range(len(qv)), i -> qv[i+1] * v[i+1]))
+             |        / (sqrt(list_sum(list_transform(qv, x -> x*x)))
+             |           * sqrt(list_sum(list_transform(v, x -> x*x)))), 6) AS cos
+             |  FROM q, e WHERE vec_id <> qid),
+             |r AS (SELECT *, row_number() OVER
+             |      (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn FROM scored)
+             |SELECT qid, vec_id AS nn_id, cos, rn FROM r WHERE rn <= 3""".stripMargin)),
+
+    QueryDef("q43_embedding_neardup",
+      // embedding-cosine near-dup pairs above threshold (bounded set)
+      (s, d) => {
+        val emb = table(s, d, "embeddings").filter(col("vec_id") < 300)
+          .select(col("vec_id"), col("label"),
+            transform(col("embedding"), _.cast("double")).as("v"))
+        val e2 = emb.select(col("vec_id").as("id2"), col("label").as("label2"),
+          col("v").as("v2"))
+        val dot = aggregate(zip_with(col("v"), col("v2"), (x, y) => x * y),
+          lit(0.0), (acc, x) => acc + x)
+        val nrm = (a: Column) => sqrt(aggregate(transform(a, x => x * x),
+          lit(0.0), (acc, x) => acc + x))
+        emb.crossJoin(e2).filter(col("vec_id") < col("id2"))
+          .withColumn("cos", round(dot / (nrm(col("v")) * nrm(col("v2"))), 6))
+          .filter(col("cos") >= 0.35)
+          .select(col("vec_id").as("id1"), col("id2"), col("cos"))
+      },
+      Some("""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             |          FROM embeddings WHERE vec_id < 300)
+             |SELECT a.vec_id AS id1, b.vec_id AS id2,
+             |  round(list_sum(list_transform(range(len(a.v)), i -> a.v[i+1] * b.v[i+1]))
+             |        / (sqrt(list_sum(list_transform(a.v, x -> x*x)))
+             |           * sqrt(list_sum(list_transform(b.v, x -> x*x)))), 6) AS cos
+             |FROM e a, e b WHERE a.vec_id < b.vec_id
+             |  AND round(list_sum(list_transform(range(len(a.v)), i -> a.v[i+1] * b.v[i+1]))
+             |        / (sqrt(list_sum(list_transform(a.v, x -> x*x)))
+             |           * sqrt(list_sum(list_transform(b.v, x -> x*x)))), 6) >= 0.35""".stripMargin)),
+
+    // ------------------------------------------------ time windows
+    QueryDef("q44_tumbling_window",
+      // hourly tumbling aggregation (batch form; streaming variant is
+      // covered in StreamingSpec)
+      (s, d) => table(s, d, "events")
+        .groupBy(date_trunc("hour", col("ts")).cast("timestamp").cast("long")
+          .as("hour_epoch"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("total")),
+      Some("""SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+             |       event_type, count(*) AS n, round(sum(value), 4) AS total
+             |FROM events GROUP BY 1, 2""".stripMargin)),
+
+    QueryDef("q45_sessionize",
+      // per-user ordered event sequence stats: first/last ts + count
+      (s, d) => table(s, d, "events")
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts")).cast("timestamp").cast("long").as("first_ts"),
+          max(col("ts")).cast("timestamp").cast("long").as("last_ts"),
+          countDistinct("event_type").as("n_types")),
+      Some("""SELECT user_id, count(*) AS n_events,
+             |  CAST(floor(epoch(min(ts))) AS BIGINT) AS first_ts,
+             |  CAST(floor(epoch(max(ts))) AS BIGINT) AS last_ts,
+             |  count(DISTINCT event_type) AS n_types
+             |FROM events GROUP BY user_id""".stripMargin)),
+
+    // ------------------------------------------------- TPC-H-ish
+    QueryDef("q46_tpch1",
+      (s, d) => table(s, d, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum("l_quantity"), 4).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_base_price"),
+          round(avg("l_discount"), 6).as("avg_disc"),
+          count(lit(1)).as("count_order")),
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  round(sum(l_quantity), 4) AS sum_qty,
+             |  round(sum(l_extendedprice), 2) AS sum_base_price,
+             |  round(avg(l_discount), 6) AS avg_disc,
+             |  count(*) AS count_order
+             |FROM lineitem
+             |WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+             |GROUP BY l_returnflag, l_linestatus""".stripMargin)),
+
+    QueryDef("q47_revenue_by_nation",
+      (s, d) => table(s, d, "lineitem")
+        .join(table(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(table(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(table(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"),
+          count(lit(1)).as("n_items")),
+      Some("""SELECT n_name,
+             |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+             |  count(*) AS n_items
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN nation ON c_nationkey = n_nationkey
+             |GROUP BY n_name""".stripMargin))
+  )
+}

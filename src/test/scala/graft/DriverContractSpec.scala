@@ -1,0 +1,39 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Contract guards for the driver harness: every query runs, every
+  * oracle key has a query, the flagship entry returns rows. Result
+  * parity vs DuckDB is checked by tools/crosscheck.py (driver-side).
+  */
+class DriverContractSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = "/root/testdata/sf0.001"
+
+  test("oracleSql keys are a subset of queries keys") {
+    val qs = SparkEntry.queries.keySet
+    val os = SparkEntry.oracleSql.keySet
+    assert(os.subsetOf(qs), s"orphan oracles: ${os.diff(qs)}")
+  }
+
+  test("every registered query executes at sf0.001") {
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val n = fn(spark, sf).count()
+      assert(n >= 0, name)
+    }
+  }
+
+  test("queries that must be non-empty at sf0.001 are non-empty") {
+    val mustBeNonEmpty = Seq(
+      "q01_scan_project", "q06_antijoin_reconcile", "q10_dict_encode",
+      "q16_uncertainty_topk", "q27_connected_components", "q33_prune_threshold",
+      "q40_minhash_lsh", "q42_cosine_topk", "q46_tpch1")
+    mustBeNonEmpty.foreach { name =>
+      assert(SparkEntry.queries(name)(spark, sf).count() > 0, name)
+    }
+  }
+
+  test("flagship entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}
