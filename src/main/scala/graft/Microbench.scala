@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.extract.{TextExtract, TripleExtract}
+
+/** Stage-isolation microbenchmark: where does extraction time go and
+  * does each piece scale with cores? Usage:
+  *   SPARK_GRAFT_CPUS=N runMain graft.Microbench <pagesParquetDir>
+  */
+object Microbench {
+  def main(args: Array[String]): Unit = {
+    val pagesDir = args(0)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"[micro] cpus=$cpus $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
+    }
+
+    val pages = spark.read.parquet(pagesDir).drop("bucket")
+    println(s"[micro] input partitions = ${pages.rdd.getNumPartitions}")
+    time("read_count")(pages.count())
+    time("read_count_again")(pages.count())
+    time("text_extract_only")(
+      pages.select(length(TextExtract.extractTextCol(col("html"))).as("l"))
+        .agg(sum("l")).collect()(0).getLong(0))
+    time("sentence_explode_only")(
+      pages.filter(col("lang") === "en")
+        .select(explode(split(regexp_replace(col("text"), "\\.$", ""), "\\. ")).as("s"))
+        .count())
+    time("assertions_full")(TripleExtract.assertions(pages).count())
+
+    // full link stage (broadcast dict join + HOF argmax), fixture dicts
+    val cfg = graft.fixtures.Fixtures.xbench
+    val inputs = graft.pipeline.KgPipeline.fixtureInputs(spark, cfg)
+    val verified = pages
+      .withColumn("extracted", TextExtract.extractTextCol(col("html")))
+      .where(col("extracted") === col("text"))
+      .drop("extracted")
+    time("extract_verify_assert")(TripleExtract.assertions(verified).count())
+    time("extract_verify_assert2")(TripleExtract.assertions(verified).count())
+    time("link_noverify")(
+      graft.link.EntityLink.link(
+        TripleExtract.assertions(pages), inputs.aliasDict, inputs.entityKeywords)
+        .count())
+    time("link_full")(
+      graft.link.EntityLink.link(
+        TripleExtract.assertions(verified), inputs.aliasDict, inputs.entityKeywords)
+        .count())
+    time("link_full2")(
+      graft.link.EntityLink.link(
+        TripleExtract.assertions(verified), inputs.aliasDict, inputs.entityKeywords)
+        .count())
+    spark.stop()
+  }
+}

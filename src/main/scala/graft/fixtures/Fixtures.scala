@@ -126,12 +126,23 @@ object Fixtures {
       expected_true: Boolean,
       lang: String)
 
+  // memoized per (nEntities, predicate): these are consulted for every
+  // generated assertion — recomputing the O(nEntities) filter per call
+  // would dominate generation cost at bench scales
+  private val allowedCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Char), Vector[Int]]()
+  private def cached(n: Int, p: Int, kind: Char)(f: => Vector[Int]): Vector[Int] =
+    allowedCache.computeIfAbsent((n, p, kind), _ => f)
+
   private def allowedSubjects(cfg: FixtureConfig, p: Int): Vector[Int] =
-    (0 until cfg.nEntities).filter(i => predicateSpecs(p).subjPfx.contains(entityPrefix(i))).toVector
+    cached(cfg.nEntities, p, 's')(
+      (0 until cfg.nEntities).filter(i => predicateSpecs(p).subjPfx.contains(entityPrefix(i))).toVector)
   private def allowedObjects(cfg: FixtureConfig, p: Int): Vector[Int] =
-    (0 until cfg.nEntities).filter(i => predicateSpecs(p).objPfx.contains(entityPrefix(i))).toVector
+    cached(cfg.nEntities, p, 'o')(
+      (0 until cfg.nEntities).filter(i => predicateSpecs(p).objPfx.contains(entityPrefix(i))).toVector)
   private def disallowedObjects(cfg: FixtureConfig, p: Int): Vector[Int] =
-    (0 until cfg.nEntities).filter(i => !predicateSpecs(p).objPfx.contains(entityPrefix(i))).toVector
+    cached(cfg.nEntities, p, 'x')(
+      (0 until cfg.nEntities).filter(i => !predicateSpecs(p).objPfx.contains(entityPrefix(i))).toVector)
 
   val domainsCount = 20
 
@@ -294,4 +305,8 @@ object Fixtures {
   def tiny: FixtureConfig = FixtureConfig(nPages = 200L, nEntities = 100)
   def small: FixtureConfig = FixtureConfig(nPages = 5000L, nEntities = 200)
   def bench: FixtureConfig = FixtureConfig(nPages = 200000L, nEntities = 1000)
+  /** scaling-protocol scale: large enough that compute dominates the
+    * fixed per-job overheads at 32 cores (BASELINE.md measurement)
+    */
+  def xbench: FixtureConfig = FixtureConfig(nPages = 2000000L, nEntities = 2000)
 }

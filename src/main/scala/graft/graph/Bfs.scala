@@ -1,0 +1,52 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Level-synchronous k-hop BFS as iterative frontier joins
+  * (reference: /root/reference/src/gnn/lcilp/utils/dgl_utils.py:8-31).
+  *
+  * `maxNodesPerHop` reproduces the reference's per-level down-sampling
+  * (dgl_utils.py:26-27) — the supernode/skew guard — but with a
+  * deterministic hash order instead of np.random.choice, so results are
+  * retry-stable (SURVEY.md §7.4).
+  */
+object Bfs {
+
+  /** edges(src,dst) directed as given (pass the symmetrized edge list
+    * for undirected semantics); seeds(node). Returns (node, dist) for
+    * all nodes within <= h hops, dist = BFS level (seeds at 0).
+    */
+  def kHop(
+      edges: DataFrame,
+      seeds: DataFrame,
+      h: Int,
+      maxNodesPerHop: Option[Int] = None): DataFrame = {
+    var visited = seeds.select(col("node"), lit(0).as("dist")).distinct()
+      .localCheckpoint(true)
+    var frontier = visited
+    var level = 0
+    while (level < h && frontier.limit(1).count() > 0) {
+      level += 1
+      var next = frontier
+        .join(edges, frontier("node") === edges("src"))
+        .select(col("dst").as("node"))
+        .distinct()
+        .join(visited.select("node"), Seq("node"), "left_anti")
+      maxNodesPerHop.foreach { cap =>
+        next = next.orderBy(md5(col("node").cast("string"))).limit(cap)
+      }
+      frontier = next.select(col("node"), lit(level).as("dist")).localCheckpoint(true)
+      visited = visited.unionAll(frontier).localCheckpoint(true)
+    }
+    visited
+  }
+
+  /** Both-direction edge list. */
+  def undirected(edges: DataFrame): DataFrame = {
+    val (s, d) = (col(edges.columns(0)), col(edges.columns(1)))
+    edges.select(s.as("src"), d.as("dst"))
+      .unionAll(edges.select(d.as("src"), s.as("dst")))
+      .distinct()
+  }
+}

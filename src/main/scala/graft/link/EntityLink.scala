@@ -1,9 +1,7 @@
 package graft.link
 
-import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-
-import graft.core.AliasEntry
 
 /** Dictionary-plus-context entity linking (north_star: "broadcast alias
   * hash join for candidate generation ... score via mention-context
@@ -34,8 +32,8 @@ object EntityLink {
   /** One dictionary row per alias: candidates array of
     * struct(entity_id, prior, keywords).
     */
-  def dictByAlias(aliasDict: Dataset[AliasEntry], entityKeywords: DataFrame): DataFrame =
-    aliasDict.toDF()
+  def dictByAlias(aliasDict: DataFrame, entityKeywords: DataFrame): DataFrame =
+    aliasDict
       .join(entityKeywords, "entity_id")
       .groupBy(col("alias"))
       .agg(collect_list(struct(col("entity_id"), col("prior"), col("keywords"))).as("cands"))
@@ -65,7 +63,7 @@ object EntityLink {
     */
   def link(
       assertions: DataFrame,
-      aliasDict: Dataset[AliasEntry],
+      aliasDict: DataFrame,
       entityKeywords: DataFrame): DataFrame = {
 
     val dict = dictByAlias(aliasDict, entityKeywords)

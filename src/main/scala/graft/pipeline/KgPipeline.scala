@@ -24,14 +24,51 @@ final case class PipelineResult(
     scored: DataFrame,
     metrics: Seq[StageMetrics])
 
+/** Pipeline inputs: the web-page table plus the (broadcast-sized) KG
+  * dictionaries. In production these are Iceberg scans; tests/bench use
+  * the deterministic fixture generator or its parquet materialization.
+  */
+final case class KgInputs(
+    pages: DataFrame,
+    aliasDict: DataFrame,
+    entityKeywords: DataFrame,
+    ontology: org.apache.spark.sql.Dataset[graft.core.OntologyRule],
+    sameAs: DataFrame)
+
 object KgPipeline {
 
-  /** Run the full pipeline. `tables` provides checkpoint/resume + lineage;
-    * pass None to run purely in-memory (tests/bench inner loop).
-    */
+  def fixtureInputs(spark: SparkSession, cfg: FixtureConfig): KgInputs = {
+    import spark.implicits._
+    KgInputs(
+      pages = Fixtures.pages(spark, cfg).toDF(),
+      aliasDict = Fixtures.aliasDict(spark, cfg).toDF(),
+      entityKeywords = Fixtures.entityKeywords(spark, cfg).toDF("entity_id", "keywords"),
+      ontology = Fixtures.ontology(spark, cfg),
+      sameAs = Fixtures.sameAs(spark, cfg).toDF("src", "dst"))
+  }
+
+  /** Run the full pipeline with fixture-generated inputs. */
   def run(
       spark: SparkSession,
       cfg: FixtureConfig,
+      tables: Option[TableFormat] = None,
+      runId: String = "r0",
+      threshold: Double = AssertionPruning.defaultThreshold,
+      reviewN: Int = 10): PipelineResult =
+    runWith(spark, fixtureInputs(spark, cfg), tables, runId, threshold, reviewN)
+
+  /** Run the full pipeline over explicit inputs.
+    *
+    * In-memory mode (tables=None) localCheckpoints ONLY the stages with
+    * more than one downstream consumer — `linked` (read twice inside the
+    * score stage: evidence chain + degree table) and `scored` (prune +
+    * review + output) — so the DAG computes each expensive subtree once
+    * without paying a job launch per stage. Production mode writes every
+    * stage to a snapshot table (resume/lineage), which subsumes this.
+    */
+  def runWith(
+      spark: SparkSession,
+      inputs: KgInputs,
       tables: Option[TableFormat] = None,
       runId: String = "r0",
       threshold: Double = AssertionPruning.defaultThreshold,
@@ -39,7 +76,8 @@ object KgPipeline {
 
     val metrics = scala.collection.mutable.ArrayBuffer[StageMetrics]()
 
-    def stage(name: String, inputSnapshot: String)(build: => DataFrame): (DataFrame, String) = {
+    def stage(name: String, inputSnapshot: String, materialize: Boolean = false)(
+        build: => DataFrame): (DataFrame, String) = {
       val snapId = s"$runId-$name"
       tables match {
         case Some(tf) if tf.hasSnapshot(name, snapId, inputSnapshot) =>
@@ -54,25 +92,24 @@ object KgPipeline {
           (tf.readTable(spark, name, snapId), snapId)
         case None =>
           val t0 = System.nanoTime()
-          val df = build
+          val df = if (materialize) build.localCheckpoint(true) else build
           metrics += StageMetrics(name, -1L, (System.nanoTime() - t0) / 1000000)
           (df, snapId)
       }
     }
 
-    // ---- inputs (deterministic fixture; in production: Iceberg scans)
-    val pages = Fixtures.pages(spark, cfg)
-    val aliasDict = Fixtures.aliasDict(spark, cfg)
-    val entityKw = Fixtures.entityKeywords(spark, cfg).toDF("entity_id", "keywords")
-    val ontology = Fixtures.ontology(spark, cfg)
-    val sameAs = Fixtures.sameAs(spark, cfg).toDF("src", "dst")
+    val pages = inputs.pages
+    val aliasDict = inputs.aliasDict
+    val entityKw = inputs.entityKeywords
+    val ontology = inputs.ontology
+    val sameAs = inputs.sameAs
 
     // ---- extract: byte-identical text + pattern triple extraction
-    val (assertions, exSnap) = stage("assertions", s"pages-${cfg.nPages}-${cfg.seed}") {
+    val (assertions, exSnap) = stage("assertions", s"input-$runId") {
       // re-extract text from html and REQUIRE it to equal the stored text
       // (per-row invariant from BASELINE.json input_hint); rows where the
       // invariant would fail are surfaced via the `text_ok` guard column.
-      val verified = pages.toDF()
+      val verified = pages
         .withColumn("extracted", TextExtract.extractTextCol(col("html")))
         .withColumn("text_ok", col("extracted") === col("text"))
         .where(col("text_ok")) // invariant: always true; belt-and-braces
@@ -81,7 +118,8 @@ object KgPipeline {
     }
 
     // ---- link: broadcast alias join + context cosine
-    val (linked, linkSnap) = stage("linked", exSnap) {
+    // (materialized in-memory: the score stage consumes it twice)
+    val (linked, linkSnap) = stage("linked", exSnap, materialize = true) {
       EntityLink.link(assertions, aliasDict, entityKw)
     }
 
@@ -94,7 +132,8 @@ object KgPipeline {
     }
 
     // ---- prune: assertion pruning (threshold + review queue)
-    val (scored, scoredSnap) = stage("scored", canonTriplesSnap) {
+    // (materialized in-memory: prune, review and output all read it)
+    val (scored, scoredSnap) = stage("scored", canonTriplesSnap, materialize = true) {
       AssertionPruning.score(canonical, ontology)
     }
     val (kept, _) = stage("triples", scoredSnap) {

@@ -305,6 +305,35 @@ object DataQueries {
              |        / (sqrt(list_sum(list_transform(a.v, x -> x*x)))
              |           * sqrt(list_sum(list_transform(b.v, x -> x*x)))), 6) >= 0.35""".stripMargin)),
 
+    QueryDef("q48_simhash_neardup",
+      // SimHash near-dup pairs (hamming <= 6 over 32-bit fingerprints).
+      // No SQL oracle: bit-vote aggregation has no portable DuckDB form;
+      // driver applies the rows-only check. Semantics covered by OpsSpec.
+      (s, d) => {
+        val fp = table(s, d, "documents")
+          .select(col("doc_id"), graft.functions.SimHash.simhash(toks).as("sh"))
+        val b = fp.select(col("doc_id").as("id2"), col("sh").as("sh2"))
+        fp.crossJoin(b).filter(col("doc_id") < col("id2"))
+          .withColumn("hamming", graft.functions.SimHash.hamming(col("sh"), col("sh2")))
+          .filter(col("hamming") <= 6)
+          .select(col("doc_id").as("id1"), col("id2"), col("hamming"))
+      },
+      None),
+
+    QueryDef("q49_ann_lsh_topk",
+      // LSH-bucketed approximate top-3 neighbors (scale path for q42's
+      // brute force). No SQL oracle (approximate op); AnnSpec checks
+      // determinism + recall against the exact baseline.
+      (s, d) => {
+        val emb = table(s, d, "embeddings")
+          .select(col("vec_id").as("id"),
+            transform(col("embedding"), _.cast("double")).as("v"))
+        val queries = emb.filter(col("id") < 20)
+          .select(col("id").as("qid"), col("v").as("qv"))
+        graft.similarity.Ann.lshTopK(emb, queries, 3)
+      },
+      None),
+
     // ------------------------------------------------ time windows
     QueryDef("q44_tumbling_window",
       // hourly tumbling aggregation (batch form; streaming variant is

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.similarity.Ann
+
+class AnnSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  val sf = "/root/testdata/sf0.001"
+
+  lazy val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    .select(col("vec_id").as("id"),
+      transform(col("embedding"), _.cast("double")).as("v"))
+    .cache()
+  lazy val queries = emb.filter(col("id") < 10)
+    .select(col("id").as("qid"), col("v").as("qv"))
+
+  test("LSH top-k returns valid, deterministic, cosine-ordered results") {
+    val a = Ann.lshTopK(emb, queries, 3).collect()
+    val b = Ann.lshTopK(emb, queries, 3).collect()
+    assert(a.map(_.toString).sorted.toSeq == b.map(_.toString).sorted.toSeq)
+    // per query: at most k rows, cosine descending by rn
+    val byQ = a.groupBy(_.getAs[Long]("qid"))
+    byQ.values.foreach { rows =>
+      assert(rows.length <= 3)
+      val sorted = rows.sortBy(_.getAs[Int]("rn"))
+      assert(sorted.map(_.getAs[Double]("cos")).toSeq ==
+        sorted.map(_.getAs[Double]("cos")).sortBy(-(_: Double)).toSeq)
+    }
+  }
+
+  test("LSH candidates are a subset of brute-force domain and recall is sane") {
+    val brute = Ann.bruteTopK(emb, queries, 3).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nn_id"))).toSet
+    val lsh = Ann.lshTopK(emb, queries, 3).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nn_id"))).toSet
+    val recall = (brute intersect lsh).size.toDouble / brute.size
+    info(f"recall@3 = $recall%.2f (lsh pairs=${lsh.size}, brute=${brute.size})")
+    assert(recall >= 0.1, f"recall collapsed: $recall%.2f")
+  }
+
+  test("brute-force agrees with the q42 driver query on overlap") {
+    val q42 = SparkEntry.queries("q42_cosine_topk")(spark, sf)
+      .filter(col("qid") < 10)
+      .select(col("qid"), col("nn_id"), col("rn"))
+      .as[(Long, Long, Int)].collect().toSet
+    val brute = Ann.bruteTopK(emb, queries, 3)
+      .select(col("qid"), col("nn_id"), col("rn"))
+      .as[(Long, Long, Int)].collect().toSet
+    assert(q42 == brute)
+  }
+}

@@ -25,8 +25,9 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     nodes.map(n => n -> find(n)).toMap
   }
 
+  /** force the DISTRIBUTED large-star/small-star path */
   private def ccOf(edges: Seq[(Long, Long)]): Map[Long, Long] =
-    ConnectedComponents.run(edges.toDF("src", "dst"))
+    ConnectedComponents.run(edges.toDF("src", "dst"), driverThreshold = 0)
       .as[(Long, Long)].collect().toMap
 
   test("chain, star, two components, self-loops") {
@@ -55,6 +56,23 @@ class ConnectedComponentsSpec extends AnyFunSuite {
       }.filter(e => e._1 != e._2)
       assert(ccOf(edges) == ufComponents(edges), s"trial $trial edges=$edges")
     }
+  }
+
+  test("small-graph driver fast path == distributed algorithm (long + string ids)") {
+    val edges = Seq(2L -> 10L, 10L -> 3L, 7L -> 8L)
+    val fast = ConnectedComponents.run(edges.toDF("src", "dst"))
+      .as[(Long, Long)].collect().toMap
+    assert(fast == ccOf(edges))
+    val sEdges = Seq("2" -> "10", "10" -> "3", "7" -> "8")
+    val sFast = ConnectedComponents.run(sEdges.toDF("src", "dst"))
+      .as[(String, String)].collect().toMap
+    val sDist = ConnectedComponents.run(sEdges.toDF("src", "dst"), driverThreshold = 0)
+      .as[(String, String)].collect().toMap
+    assert(sFast == sDist)
+    // orderings differ between the two id types, as they must
+    assert(fast(2L) == 2L && fast(3L) == 2L)
+    assert(sFast("2") == "10") // string min of {"2","10","3"} = "10"
+    assert(sDist("3") == "10")
   }
 
   test("canonicalization matches the driver union-find oracle") {

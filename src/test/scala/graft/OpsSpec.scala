@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.fixtures.Fixtures
+import graft.functions.SimHash
+import graft.multimodal.Multimodal
+
+class OpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("simhash: identical texts collide, perturbed texts are near") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "the quick brown fox leaps over the lazy dog again and again"),
+      (4L, "completely different content about spark shuffles and joins"))
+      .toDF("id", "text")
+      .select(col("id"), SimHash.simhash(split(col("text"), " ")).as("sh"))
+    val m = docs.as[(Long, Long)].collect().toMap
+    assert(m(1L) == m(2L))
+    val near = java.lang.Long.bitCount(m(1L) ^ m(3L))
+    val far = java.lang.Long.bitCount(m(1L) ^ m(4L))
+    assert(near < far, s"near=$near far=$far")
+    assert(near <= 8)
+  }
+
+  test("simhash hamming column matches JVM bitCount") {
+    val rows = Seq((0xffL, 0x0fL)).toDF("a", "b")
+      .select(SimHash.hamming(col("a"), col("b"))).as[Int].collect()
+    assert(rows.head == 4)
+  }
+
+  test("multimodal featurize: deterministic stub features, batch plumbing") {
+    val pages = Fixtures.pages(spark, Fixtures.tiny).toDF()
+    val media = Multimodal.mediaFromPages(spark, pages)
+    val feats = Multimodal.featurize(media, 4).collect()
+    assert(feats.length == 200)
+    assert(feats.forall(_.features.length == Multimodal.featureDim))
+    // deterministic: same input -> same features
+    val again = Multimodal.featurize(media, 8).collect()
+    assert(feats.map(f => f.media_id -> f.features.toSeq).toMap ==
+      again.map(f => f.media_id -> f.features.toSeq).toMap)
+    // kinds assigned
+    assert(feats.map(_.kind).toSet == Set("image", "audio", "video"))
+  }
+
+  test("multimodal frame sampling: n typed frames per row") {
+    val pages = Fixtures.pages(spark, Fixtures.tiny).toDF().limit(5)
+    val media = Multimodal.mediaFromPages(spark, pages)
+    val frames = Multimodal.sampleFrames(media, 4)
+    assert(frames.count() == 20)
+    assert(frames.groupBy("media_id").count().select(max("count")).as[Long].head() == 4)
+  }
+}

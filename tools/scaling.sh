@@ -1,0 +1,38 @@
+#!/bin/bash
+# Scaling-efficiency measurement (BASELINE.md protocol): run the KG
+# pipeline benchmark at local[8] and local[32], best-of-N per level to
+# shed host-VM noise, and print the efficiency.
+set -u
+REPS=${REPS:-3}
+SCALE=${SCALE:-xbench}
+cd "$(dirname "$0")/.."
+for c in 8 32; do
+  for r in $(seq 1 "$REPS"); do
+    # 12g heap + ParallelGC: a 48g heap grows a huge young gen whose
+    # collections pause for seconds and dominate wall time (measured)
+    SPARK_GRAFT_SKIP_QUERIES=1 SPARK_GRAFT_KG_SCALE=$SCALE \
+      SPARK_GRAFT_CPUS=$c SPARK_DRIVER_MEM=12g \
+      GRAFT_JAVA_OPTS="-XX:+UseParallelGC" \
+      sbt -batch "runMain graft.Bench" 2>&1 |
+      grep -E '^\[info\] \{' | sed 's/^\[info\] //' \
+      > "/tmp/scaling_${c}_${r}.json"
+    python3 - "$c" "$r" <<'EOF'
+import json, sys
+c, r = sys.argv[1], sys.argv[2]
+d = json.load(open(f"/tmp/scaling_{c}_{r}.json"))
+k = d["kg"]
+print(f"cpus={c} rep={r} wall={k['wall_sec']:.1f}s tps={k['triples_per_sec']:.0f}")
+EOF
+  done
+done
+python3 - <<EOF
+import json, glob
+best = {}
+for c in (8, 32):
+    tps = []
+    for f in glob.glob(f"/tmp/scaling_{c}_*.json"):
+        tps.append(json.load(open(f))["kg"]["triples_per_sec"])
+    best[c] = max(tps)
+eff = (best[32] / best[8]) / 4
+print(f"BEST: tps8={best[8]:.0f} tps32={best[32]:.0f} efficiency={eff:.3f}")
+EOF
