@@ -27,4 +27,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // ParallelGC: G1 on big heaps grew multi-second young-gen pauses that
+  // dominated benchmark wall time (see BENCH/BASELINE.md)
+  "-XX:+UseParallelGC",
 ) ++ sys.env.get("GRAFT_JAVA_OPTS").map(_.split(" ").toSeq).getOrElse(Seq.empty)

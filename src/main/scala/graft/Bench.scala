@@ -29,6 +29,10 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // shuffle spill on fast storage (a real cluster has per-executor
+      // NVMe; this box's /tmp disk was the measured bottleneck)
+      .config("spark.local.dir",
+        sys.env.getOrElse("SPARK_LOCAL_DIRS", "/dev/shm/graft-spark"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -55,6 +59,7 @@ object Bench {
       case "tiny" => Fixtures.tiny
       case "bench" => Fixtures.bench
       case "xbench" => Fixtures.xbench
+      case "xxbench" => Fixtures.xxbench
       case _ => Fixtures.small
     }
     val inDir = s"/tmp/graft-input-$kgScale"

@@ -305,8 +305,10 @@ object Fixtures {
   def tiny: FixtureConfig = FixtureConfig(nPages = 200L, nEntities = 100)
   def small: FixtureConfig = FixtureConfig(nPages = 5000L, nEntities = 200)
   def bench: FixtureConfig = FixtureConfig(nPages = 200000L, nEntities = 1000)
-  /** scaling-protocol scale: large enough that compute dominates the
-    * fixed per-job overheads at 32 cores (BASELINE.md measurement)
+  /** scaling-protocol scales: large enough that compute dominates the
+    * fixed per-job overheads at 32 cores (BASELINE.md measurement);
+    * xxbench additionally dominates host-VM noise (±tens of seconds).
     */
   def xbench: FixtureConfig = FixtureConfig(nPages = 2000000L, nEntities = 2000)
+  def xxbench: FixtureConfig = FixtureConfig(nPages = 20000000L, nEntities = 5000)
 }

@@ -76,7 +76,8 @@ object KgPipeline {
 
     val metrics = scala.collection.mutable.ArrayBuffer[StageMetrics]()
 
-    def stage(name: String, inputSnapshot: String, materialize: Boolean = false)(
+    def stage(name: String, inputSnapshot: String, materialize: Boolean = false,
+        partitionCols: Seq[String] = Nil)(
         build: => DataFrame): (DataFrame, String) = {
       val snapId = s"$runId-$name"
       tables match {
@@ -85,7 +86,7 @@ object KgPipeline {
         case Some(tf) =>
           val t0 = System.nanoTime()
           val df = build
-          val snap = tf.writeTable(df, name, snapId, inputSnapshot)
+          val snap = tf.writeTable(df, name, snapId, inputSnapshot, partitionCols)
           val ms = (System.nanoTime() - t0) / 1000000
           tf.appendLineage(tf.readTable(spark, name, snapId), name, snapId, ms)
           metrics += StageMetrics(name, snap.rowCount, ms)
@@ -118,8 +119,10 @@ object KgPipeline {
     }
 
     // ---- link: broadcast alias join + context cosine
-    // (materialized in-memory: the score stage consumes it twice)
-    val (linked, linkSnap) = stage("linked", exSnap, materialize = true) {
+    // (NOT materialized in-memory: its single consumer is the evidence
+    // aggregation, which AssertionPruning.score materializes itself, so
+    // extract→link→canonicalize→evidence fuse into one codegen pass)
+    val (linked, linkSnap) = stage("linked", exSnap) {
       EntityLink.link(assertions, aliasDict, entityKw)
     }
 
@@ -136,11 +139,36 @@ object KgPipeline {
     val (scored, scoredSnap) = stage("scored", canonTriplesSnap, materialize = true) {
       AssertionPruning.score(canonical, ontology)
     }
-    val (kept, _) = stage("triples", scoredSnap) {
+    // cleaned triples partitioned by predicate: the reference's
+    // per-relation CSC adjacency (data_utils.py:81-95) is exactly a
+    // relation-partitioned table — `WHERE predicate = p` prunes to one
+    // partition directory.
+    val (kept, keptSnap) = stage("triples", scoredSnap, partitionCols = Seq("predicate")) {
       AssertionPruning.prune(scored, threshold)
     }
     val (review, _) = stage("review_queue", scoredSnap) {
       AssertionPruning.reviewQueue(scored, reviewN)
+    }
+
+    // integer-encoded adjacency (D3): entity/relation dictionaries with
+    // deterministic dense ids + (src, dst, rel) partitioned by rel —
+    // only materialized in table mode (it exists for downstream GNN-style
+    // consumers, not for the in-memory P/R check).
+    if (tables.isDefined) {
+      val entDict = graft.core.Ids.dictionary(
+        kept.select(col("subject").as("entity"))
+          .unionAll(kept.select(col("object").as("entity"))), "entity")
+      val relDict = graft.core.Ids.dictionary(
+        kept.select(col("predicate").as("relation")), "relation")
+      val (entities, entSnap) = stage("entity_dict", keptSnap)(entDict)
+      val (relations, relSnap) = stage("relation_dict", keptSnap)(relDict)
+      stage("adjacency", entSnap, partitionCols = Seq("rel")) {
+        kept
+          .join(entities.withColumnRenamed("entity", "subject").withColumnRenamed("id", "src"), "subject")
+          .join(entities.withColumnRenamed("entity", "object").withColumnRenamed("id", "dst"), "object")
+          .join(relations.withColumnRenamed("relation", "predicate").withColumnRenamed("id", "rel"), "predicate")
+          .select(col("src"), col("dst"), col("rel").cast("int").as("rel"))
+      }
     }
 
     PipelineResult(kept, review, scored, metrics.toSeq)

@@ -68,9 +68,13 @@ object AssertionPruning {
   def score(
       linked: DataFrame,
       ontology: Dataset[OntologyRule],
-      saltBuckets: Int = 8): DataFrame = {
+      saltBuckets: Int = 8,
+      broadcastDegreeThreshold: Long = 1000000L): DataFrame = {
 
-    val ev = evidence(linked)
+    // materialized once: three consumers (cardinality window chain, the
+    // degree table, and the broadcast-threshold count) would otherwise
+    // each recompute the aggregation over the full linked table
+    val ev = evidence(linked).localCheckpoint(true)
 
     // predicate-cardinality window: evidence rows are distinct (s,p,o),
     // so count(*) over (s,p) == distinct objects per (subject, predicate)
@@ -91,15 +95,23 @@ object AssertionPruning {
           lit(1.0) / col("n_obj").cast("double")).otherwise(lit(1.0)))
       .drop("subj_prefixes", "obj_prefixes", "functional")
 
-    // degree feature via explicitly salted sort-merge join (skewed hubs)
+    // degree feature join. The degree table has one row per entity: when
+    // it fits a broadcast (the usual case even at large scale — entities
+    // ≪ triples), broadcast-hash-join it and no shuffle happens at all;
+    // beyond the threshold fall back to the explicitly SALTED sort-merge
+    // join so hub entities (~40% of edges) spread over saltBuckets
+    // reducers instead of one.
     val deg = degreeTable(ev)
       .select(col("entity").as("subject"), col("degree").as("subj_degree"))
-    val withDeg = SkewJoin.salted(
-      big = typed,
-      small = deg,
-      keys = Seq("subject"),
-      saltBuckets = saltBuckets,
-      bigRowIdentity = Seq(col("subject"), col("predicate"), col("object")))
+    val degSmall = deg.limit((broadcastDegreeThreshold + 1).toInt).count() <= broadcastDegreeThreshold
+    val withDeg =
+      if (degSmall) typed.join(broadcast(deg), Seq("subject"))
+      else SkewJoin.salted(
+        big = typed,
+        small = deg,
+        keys = Seq("subject"),
+        saltBuckets = saltBuckets,
+        bigRowIdentity = Seq(col("subject"), col("predicate"), col("object")))
 
     withDeg
       .withColumn("score",

@@ -360,6 +360,93 @@ object DataQueries {
              |  count(DISTINCT event_type) AS n_types
              |FROM events GROUP BY user_id""".stripMargin)),
 
+    QueryDef("q50_blend",
+      // linear score ensembling (ensembling/blend.py:40-52)
+      (s, d) => {
+        val base = triples(s, d).groupBy("subject", "predicate", "object")
+        val a = base.agg((min(col("event_id") % 100).cast("double") / 100.0).as("score"))
+        val b = base.agg((min(col("event_id") % 97).cast("double") / 97.0).as("score"))
+        graft.prune.Ensemble.blend(a, b, 0.6, 0.4, 0.0)
+          .withColumn("s1", round(col("s1"), 6))
+          .withColumn("s2", round(col("s2"), 6))
+          .withColumn("score", round(col("score"), 6))
+      },
+      Some(s"""WITH t AS ($triplesSql),
+              |a AS (SELECT subject, predicate, "object",
+              |      CAST(min(event_id % 100) AS DOUBLE)/100.0 AS s1
+              |      FROM t GROUP BY 1,2,3),
+              |b AS (SELECT subject, predicate, "object",
+              |      CAST(min(event_id % 97) AS DOUBLE)/97.0 AS s2
+              |      FROM t GROUP BY 1,2,3)
+              |SELECT subject, predicate, "object",
+              |       round(s1, 6) AS s1, round(s2, 6) AS s2,
+              |       round(round(0.6 * s1 + 0.4 * s2 + 0.0, 9), 6) AS score
+              |FROM a JOIN b USING (subject, predicate, "object")""".stripMargin)),
+
+    QueryDef("q51_softmax_rel",
+      // relation sampling distribution: softmax over per-relation counts
+      // (graph_sampler.py:51-56)
+      (s, d) => {
+        val counts = triples(s, d).groupBy("predicate").agg(count(lit(1)).as("n"))
+        counts.withColumn("p", round(
+          exp(col("n").cast("double") / 1000.0) /
+            sum(exp(col("n").cast("double") / 1000.0)).over(Window.partitionBy()),
+          6)).select("predicate", "n", "p")
+      },
+      Some(s"""WITH c AS (SELECT predicate, count(*) AS n
+              |          FROM ($triplesSql) t GROUP BY predicate)
+              |SELECT predicate, n,
+              |  round(exp(CAST(n AS DOUBLE)/1000.0) /
+              |        sum(exp(CAST(n AS DOUBLE)/1000.0)) OVER (), 6) AS p
+              |FROM c""".stripMargin)),
+
+    QueryDef("q52_stratified_sample",
+      // hash-Bernoulli stratified sample, ~25% per lang stratum
+      // (balance_negatives.py:120-193 reinterpreted deterministically)
+      (s, d) => graft.prune.Sampling.hashSample(
+        table(s, d, "documents").select("doc_id", "lang"),
+        Seq(col("doc_id").cast("string"), col("lang")), 0.25, 42L),
+      Some("""SELECT doc_id, lang FROM documents
+             |WHERE substring(md5(CAST(doc_id AS VARCHAR) || '|' || lang || '|' || '42'), 1, 4) < '4000'""".stripMargin)),
+
+    QueryDef("q53_chunk_text",
+      // deterministic text chunking 500 chars / 100 overlap
+      // (Edge_Assignor.ipynb cell 16 l.51)
+      (s, d) => table(s, d, "documents")
+        .select(col("doc_id"),
+          posexplode(transform(
+            sequence(lit(0), greatest(length(col("text")) - 1, lit(0)), lit(400)),
+            start => substring(col("text"), (start + 1).cast("int"), lit(500))))
+            .as(Seq("chunk_idx", "chunk"))),
+      Some("""SELECT doc_id,
+             |  CAST(unnest(range(len(starts))) AS INTEGER) AS chunk_idx,
+             |  starts[unnest(range(len(starts))) + 1] AS chunk
+             |FROM (SELECT doc_id,
+             |      list_transform(range(0, greatest(strlen(text) - 1, 0) + 1, 400),
+             |                     s -> substring(text, CAST(s + 1 AS INTEGER), 500)) AS starts
+             |      FROM documents) x""".stripMargin)),
+
+    QueryDef("q54_transe_score",
+      // TransE scoring gamma - ||h + r - t|| as a pure vector expression
+      // (reference kge/model.py TransE)
+      (s, d) => {
+        val emb = table(s, d, "embeddings").filter(col("vec_id") < 100)
+          .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+        val h = emb.select(col("vec_id").as("hid"), col("v").as("hv"))
+        val t = emb.select(col("vec_id").as("tid"), col("v").as("tv"))
+        h.join(t, col("tid") === col("hid") + 1)
+          .withColumn("dist", sqrt(aggregate(
+            zip_with(col("hv"), col("tv"), (x, y) => (x + 0.1 - y) * (x + 0.1 - y)),
+            lit(0.0), (acc, x) => acc + x)))
+          .select(col("hid"), col("tid"), round(lit(12.0) - col("dist"), 6).as("transe"))
+      },
+      Some("""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             |          FROM embeddings WHERE vec_id < 100)
+             |SELECT h.vec_id AS hid, t.vec_id AS tid,
+             |  round(12.0 - sqrt(list_sum(list_transform(range(len(h.v)),
+             |        i -> (h.v[i+1] + 0.1 - t.v[i+1]) * (h.v[i+1] + 0.1 - t.v[i+1])))), 6) AS transe
+             |FROM e h JOIN e t ON t.vec_id = h.vec_id + 1""".stripMargin)),
+
     // ------------------------------------------------- TPC-H-ish
     QueryDef("q46_tpch1",
       (s, d) => table(s, d, "lineitem")

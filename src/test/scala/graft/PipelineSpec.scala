@@ -41,6 +41,14 @@ class PipelineSpec extends AnyFunSuite {
     assert(KgPipeline.outputTriples(r2).count() == out1)
     // lineage rows were written
     assert(Files.exists(java.nio.file.Paths.get(root, "_lineage.jsonl")))
+    // relation-partitioned materialization (D3): triples partitioned by
+    // predicate, adjacency partitioned by rel, dictionaries present
+    val triplesDir = new java.io.File(s"$root/triples/snapshot=rA-triples")
+    assert(triplesDir.list().exists(_.startsWith("predicate=")))
+    val adjDir = new java.io.File(s"$root/adjacency/snapshot=rA-adjacency")
+    assert(adjDir.list().exists(_.startsWith("rel=")))
+    val ent = spark.read.parquet(s"$root/entity_dict/snapshot=rA-entity_dict")
+    assert(ent.columns.toSeq.sorted == Seq("entity", "id"))
   }
 
   test("review queue has at most N rows, ordered by uncertainty desc") {

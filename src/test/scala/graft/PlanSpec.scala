@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.extract.TripleExtract
+import graft.fixtures.Fixtures
+import graft.link.EntityLink
+import graft.pipeline.KgPipeline
+
+/** Physical-plan audits: the scale disciplines the builder prompt calls
+  * out (pushdown, broadcast, no gratuitous shuffles, codegen) asserted
+  * against the actual plans so they can't silently regress.
+  */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  val sf = "/root/testdata/sf0.001"
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("parquet scan: filter pushed down, columns pruned") {
+    val df = SparkEntry.queries("q01_scan_project")(spark, sf)
+    val plan = planOf(df)
+    assert(plan.contains("PushedFilters: [IsNotNull(l_returnflag), EqualTo(l_returnflag,R)]"),
+      s"missing pushdown:\n$plan")
+    assert(plan.contains("ReadSchema") &&
+      !plan.contains("l_extendedprice"), "projection not pruned to used columns")
+  }
+
+  test("dimension joins are broadcast, not shuffled") {
+    val plan = planOf(SparkEntry.queries("q07_node_lookup_join")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), s"dim join degraded to SMJ:\n$plan")
+  }
+
+  test("link stage: zero shuffles, broadcast dictionary, codegen") {
+    val inputs = KgPipeline.fixtureInputs(spark, Fixtures.tiny)
+    val linked = EntityLink.link(
+      TripleExtract.assertions(inputs.pages), inputs.aliasDict, inputs.entityKeywords)
+    val plan = planOf(linked)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // the big (mention) side must not shuffle. Exchanges inside the
+    // broadcast dictionary build (tiny side) are fine; the plan prints
+    // pre-order with the probe/mention subtree BEFORE the first
+    // BroadcastExchange, so any probe-side shuffle would appear there.
+    val probeSide = plan.substring(0, plan.indexOf("BroadcastExchange"))
+    assert(!probeSide.contains("Exchange hashpartitioning") &&
+      !probeSide.contains("Exchange rangepartitioning"),
+      s"link stage shuffles the mention table:\n$plan")
+    // note: the argmax uses higher-order `aggregate`/`transform`
+    // (CodegenFallback) so this operator is interpreted by design; the
+    // regex-heavy extraction below stays in whole-stage codegen.
+  }
+
+  test("extraction is a narrow codegen pipeline over the scan (no Exchange)") {
+    val inputs = KgPipeline.fixtureInputs(spark, Fixtures.tiny)
+    val df = TripleExtract.assertions(inputs.pages)
+    df.count() // resolve AQE final plan
+    val plan = planOf(df)
+    assert(!plan.contains("Exchange"), s"extraction shuffles:\n$plan")
+    // codegen'd operators print as "*(n) Op" in the final plan string
+    assert(plan.contains("WholeStageCodegen") || "\\*\\(\\d+\\)".r.findFirstIn(plan).isDefined,
+      s"extraction fell out of codegen:\n$plan")
+  }
+
+  test("salted join plans as a non-broadcast equi-join on the salted key") {
+    import spark.implicits._
+    val big = (0 until 1000).map(i => ("k" + i % 3, i)).toDF("k", "v")
+    val small = (0 until 3).map(i => ("k" + i, i)).toDF("k", "w")
+    // disable auto-broadcast to model the big-dimension case salting targets
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = planOf(graft.link.SkewJoin.salted(big, small, Seq("k"), 4, Seq(col("v"))))
+      assert(plan.contains("__salt") && (plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin")),
+        s"salted join not a shuffled equi-join on (k, __salt):\n$plan")
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
+  test("prune evidence aggregation is two-phase (partial before shuffle)") {
+    import spark.implicits._
+    val linked = Seq(("s", "p", "o", "u", 0.9)).toDF("subject", "predicate", "object", "url", "link_conf")
+    val plan = planOf(graft.prune.AssertionPruning.evidence(linked))
+    // map-side combine: a HashAggregate must appear BELOW the first Exchange
+    val firstExchange = plan.indexOf("Exchange")
+    val aggBelow = plan.indexOf("HashAggregate", firstExchange)
+    val aggAbove = plan.lastIndexOf("HashAggregate")
+    assert(firstExchange > 0 && aggBelow > 0 && aggAbove > 0, plan)
+    assert(plan.indexOf("HashAggregate") < firstExchange || aggBelow > firstExchange,
+      s"no partial aggregation before shuffle:\n$plan")
+  }
+}

@@ -83,6 +83,21 @@ class PruneSpec extends AnyFunSuite {
     assert(ev.head.getAs[Double]("conf") == 0.9)
   }
 
+  test("score: broadcast-degree fast path == salted-join path") {
+    val cfg = Fixtures.tiny
+    val ontology = Fixtures.ontology(spark, cfg)
+    val linked = Seq(
+      ("CHEBI:10002", "biolink:treats", "MONDO:10000", "u1", 0.8),
+      ("CHEBI:10002", "biolink:treats", "HP:10004", "u2", 0.7),
+      ("HGNC:10001", "biolink:causes", "MONDO:10000", "u3", 0.9))
+      .toDF("subject", "predicate", "object", "url", "link_conf")
+    val fast = AssertionPruning.score(linked, ontology)
+      .collect().map(_.toString).sorted.toSeq
+    val salted = AssertionPruning.score(linked, ontology, broadcastDegreeThreshold = 0L)
+      .collect().map(_.toString).sorted.toSeq
+    assert(fast == salted)
+  }
+
   // ------------------------------------------------- anti-join reconcile
 
   test("anti-join reconciliation: row count conserved, refilled pairs win") {

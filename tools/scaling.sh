@@ -9,12 +9,12 @@ cd "$(dirname "$0")/.."
 for c in 8 32; do
   for r in $(seq 1 "$REPS"); do
     # 12g heap + ParallelGC: a 48g heap grows a huge young gen whose
-    # collections pause for seconds and dominate wall time (measured)
+    # collections pause for seconds and dominate wall time (measured);
+    # direct java (tools/run_class.sh) avoids the sbt lock + startup
     SPARK_GRAFT_SKIP_QUERIES=1 SPARK_GRAFT_KG_SCALE=$SCALE \
-      SPARK_GRAFT_CPUS=$c SPARK_DRIVER_MEM=12g \
-      GRAFT_JAVA_OPTS="-XX:+UseParallelGC" \
-      sbt -batch "runMain graft.Bench" 2>&1 |
-      grep -E '^\[info\] \{' | sed 's/^\[info\] //' \
+      SPARK_GRAFT_CPUS=$c \
+      tools/run_class.sh -mem 12g -opts "-XX:+UseParallelGC" graft.Bench 2>/dev/null |
+      grep -E '^\{' \
       > "/tmp/scaling_${c}_${r}.json"
     python3 - "$c" "$r" <<'EOF'
 import json, sys
