@@ -79,9 +79,10 @@ object Bench {
       entityKeywords = spark.read.parquet(s"$inDir/entity_keywords"),
       ontology = gen.ontology,
       sameAs = spark.read.parquet(s"$inDir/same_as"))
+    val dedup = sys.env.getOrElse("SPARK_GRAFT_DEDUP", "minhash")
     val nAssertions = TripleExtract.assertions(inputs.pages).count() // untimed warm-up
     val t0 = System.nanoTime()
-    val res = KgPipeline.runWith(spark, inputs)
+    val res = KgPipeline.runWith(spark, inputs, dedup = dedup)
     val kept = KgPipeline.outputTriples(res).count()
     val kgWall = (System.nanoTime() - t0) / 1e9
     val tps = nAssertions / kgWall

@@ -147,7 +147,16 @@ object Fixtures {
   val domainsCount = 20
 
   def urlOf(j: Long): String = s"https://fixture.test/d${j % domainsCount}/page$j"
-  def langOf(j: Long): String = if (j % 17 == 0) "de" else "en"
+
+  /** Duplicate pages: every 7th-ish page republishes the previous page's
+    * content under its own url (web corpora are heavily duplicated; the
+    * dedup stage needs true work). Content-wise page j IS page srcOf(j);
+    * the distinct-triple oracle is unchanged whether duplicates are
+    * dropped or kept.
+    */
+  def srcOf(j: Long): Long = if (j % 7 == 3 && j > 0) j - 1 else j
+
+  def langOf(j: Long): String = if (srcOf(j) % 17 == 0) "de" else "en"
   def tsOf(j: Long): Timestamp = {
     val base = 1704067200000L // 2024-01-01T00:00:00Z
     new Timestamp(base + (j % domainsCount) * 86400000L + (j / domainsCount) * 60000L)
@@ -205,20 +214,23 @@ object Fixtures {
         s"$sa ${predicateSpecs(p).verb} $oa",
         s"Research on ${entityKeyword(s)} alongside ${entityKeyword(o)} continues")
     }
+    // filler wording varies per page (several hash words) so unrelated
+    // pages do not become MinHash near-duplicates of each other
+    def w(k: Int) = java.lang.Long.toString(mix64(h, 40 + k) & 0xffffffffL, 36)
     val filler =
-      if (j % 13 == 0) Seq(s"Joint work by A&B Labs noted item ${mix64(h, 40) & 0xffffL}")
-      else Seq(s"Filler note ${mix64(h, 40) & 0xffffL} closes the page")
+      if (j % 13 == 0) Seq(s"Joint work by A&B Labs noted item ${w(0)}")
+      else Seq(s"Filler note ${w(0)} and ${w(1)} closes page section ${w(2)} item ${w(3)}")
     core ++ filler
   }
 
   def textOf(cfg: FixtureConfig, j: Long): String =
-    sentencesOf(cfg, j).mkString(". ") + "."
+    sentencesOf(cfg, srcOf(j)).mkString(". ") + "."
 
   private def escapeHtml(s: String): String =
     s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
 
   def htmlOf(cfg: FixtureConfig, j: Long): Array[Byte] = {
-    val body = sentencesOf(cfg, j)
+    val body = sentencesOf(cfg, srcOf(j))
       .map(s => s"  <p>${escapeHtml(s)}.</p>")
       .mkString("\n")
     val doc =
@@ -247,7 +259,7 @@ object Fixtures {
   def truth(spark: SparkSession, cfg: FixtureConfig): Dataset[TruthRow] = {
     import spark.implicits._
     spark.range(cfg.nPages).mapPartitions(_.flatMap { j =>
-      assertionsFor(cfg, j).zipWithIndex.map { case ((s, p, o, ok, _, _), a) =>
+      assertionsFor(cfg, srcOf(j)).zipWithIndex.map { case ((s, p, o, ok, _, _), a) =>
         TruthRow(urlOf(j), a * 2, s, p, o, ok, langOf(j))
       }
     })
@@ -293,7 +305,7 @@ object Fixtures {
       val c = bc.value
       it.flatMap { j =>
         if (langOf(j) != "en") Iterator.empty
-        else assertionsFor(cfg, j).iterator.collect {
+        else assertionsFor(cfg, srcOf(j)).iterator.collect {
           case (s, p, o, true, _, _) =>
             Triple(c(entityId(s)), predicateSpecs(p).curie, c(entityId(o)))
         }

@@ -72,7 +72,8 @@ object KgPipeline {
       tables: Option[TableFormat] = None,
       runId: String = "r0",
       threshold: Double = AssertionPruning.defaultThreshold,
-      reviewN: Int = 10): PipelineResult = {
+      reviewN: Int = 10,
+      dedup: String = "exact"): PipelineResult = {
 
     val metrics = scala.collection.mutable.ArrayBuffer[StageMetrics]()
 
@@ -99,7 +100,10 @@ object KgPipeline {
       }
     }
 
-    val pages = inputs.pages
+    // ---- dedup: drop exact/near-duplicate pages before extraction
+    // (Common-Crawl-style corpora are heavily duplicated; running the
+    // whole pipeline on copies double-counts evidence)
+    val pages = graft.dedup.PageDedup(inputs.pages, dedup)
     val aliasDict = inputs.aliasDict
     val entityKw = inputs.entityKeywords
     val ontology = inputs.ontology

@@ -1,0 +1,66 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.Page
+import graft.dedup.PageDedup
+import graft.fixtures.Fixtures
+
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  def page(url: String, text: String): Page =
+    Page(url, new Timestamp(0L), text.getBytes("UTF-8"), text, "en")
+
+  test("exact dedup: smallest url survives per identical text") {
+    val pages = Seq(
+      page("https://a/1", "alpha beta gamma delta epsilon zeta eta"),
+      page("https://b/2", "alpha beta gamma delta epsilon zeta eta"), // dup
+      page("https://c/3", "unique content entirely different here now"))
+      .toDF()
+    val out = PageDedup.exact(pages).select("url").as[String].collect().toSet
+    assert(out == Set("https://a/1", "https://c/3"))
+  }
+
+  test("minhash dedup: near-duplicates dropped, distinct pages kept") {
+    val base = "the quick brown fox jumps over the lazy dog and then runs far away home tonight"
+    val near = base.replace("runs", "walks") // 1-token perturbation
+    val far = "completely different words about spark catalyst shuffles joins windows aggregates and parquet"
+    val pages = Seq(
+      page("https://a/1", base),
+      page("https://b/2", base), // exact dup
+      page("https://c/3", near), // near dup: most shingles shared
+      page("https://d/4", far))
+      .toDF()
+    val out = PageDedup.minhash(pages).select("url").as[String].collect().toSet
+    assert(out.contains("https://a/1") && out.contains("https://d/4"))
+    assert(!out.contains("https://b/2"), "exact dup must collide in every band")
+  }
+
+  test("dedup modes: none is identity; exact drops the fixture's true dups") {
+    val cfg = Fixtures.tiny
+    val pages = Fixtures.pages(spark, cfg).toDF()
+    assert(PageDedup(pages, "none").count() == 200)
+    // the fixture embeds true duplicates (srcOf: j%7==3 republishes j-1)
+    val nDups = (0L until cfg.nPages).count(j => Fixtures.srcOf(j) != j)
+    assert(nDups > 20)
+    assert(PageDedup(pages, "exact").count() == 200 - nDups)
+    assertThrows[IllegalArgumentException](PageDedup(pages, "bogus"))
+  }
+
+  test("pipeline P/R unchanged with minhash dedup on the fixture") {
+    val cfg = Fixtures.tiny
+    val res = graft.pipeline.KgPipeline.runWith(
+      spark, graft.pipeline.KgPipeline.fixtureInputs(spark, cfg), dedup = "minhash")
+    val got = graft.pipeline.KgPipeline.outputTriples(res)
+    val want = Fixtures.expectedTriples(spark, cfg).toDF()
+    val hit = got.join(want, Seq("subject", "predicate", "object"), "left_semi").count()
+    // near-dup banding may drop a few legitimately similar fixture pages;
+    // precision must hold exactly, recall nearly
+    assert(hit.toDouble / got.count() >= 0.95)
+    assert(hit.toDouble / want.count() >= 0.90)
+  }
+}

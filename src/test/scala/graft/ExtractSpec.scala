@@ -49,7 +49,10 @@ class ExtractSpec extends AnyFunSuite {
 
   test("non-en pages are filtered out") {
     val got = TripleExtract.assertions(Fixtures.pages(spark, cfg).toDF())
-    assert(got.where(col("url").rlike("page(0|17|34|51)$")).count() == 0)
+    val deUrls = (0L until cfg.nPages)
+      .filter(j => Fixtures.langOf(j) == "de").map(Fixtures.urlOf)
+    assert(deUrls.nonEmpty)
+    assert(got.where(col("url").isin(deUrls: _*)).count() == 0)
   }
 
   test("assertion context carries the disambiguation keywords") {

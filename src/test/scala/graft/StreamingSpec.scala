@@ -47,6 +47,28 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming triple extraction equals the batch extraction") {
+    import graft.fixtures.Fixtures
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-pages").toString
+    val pages = Fixtures.pages(spark, Fixtures.tiny).toDF()
+    pages.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(pages.schema).parquet(dir)
+    val q = StreamOps.assertionsStream(stream)
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("assert_out")
+      .start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("assert_out")
+        .select("url", "sent_idx", "predicate").as[(String, Int, String)]
+        .collect().toSet
+      val want = graft.extract.TripleExtract.assertions(pages)
+        .select("url", "sent_idx", "predicate").as[(String, Int, String)]
+        .collect().toSet
+      assert(got == want && got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("stateful sessionize accumulates per-user state") {
     val schema = spark.read.parquet(s"$sf/events.parquet").schema
     val stream = spark.readStream.schema(schema).parquet(eventsDir)
