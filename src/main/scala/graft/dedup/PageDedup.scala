@@ -38,27 +38,21 @@ object PageDedup {
     * signature — per-band collision probability is jaccard^3, steep
     * enough that merely-templated pages don't collide.
     *
-    * Signature components use ONE string xxhash64 per shingle plus k
-    * cheap seeded long-rehashes (the classic k-permutation trick)
-    * rather than k cryptographic hashes: ~100x less CPU at identical
-    * minhash semantics (and no ANSI long-overflow, unlike affine
-    * multiply remixes).
+    * Signatures come from the native Catalyst expression
+    * [[graft.functions.MinHashSignature]] — one compiled loop per row.
+    * The equivalent `transform`+`aggregate` higher-order-function form
+    * is interpreted per array element by Catalyst's lambda evaluator and
+    * measured ~200 core-seconds per million pages; the expression is
+    * ~100x cheaper at identical semantics.
     */
   private def bands(pages: DataFrame): DataFrame = {
-    val toks = split(col("text"), " ")
-    val sh = transform(sequence(lit(0), greatest(size(toks) - 3, lit(0))), i =>
-      xxhash64(concat_ws(" ",
-        element_at(toks, i + 1), element_at(toks, i + 2), element_at(toks, i + 3))))
-    val names = (0 until 6).map(k => s"s$k")
-    val sig0 = struct(names.map(n => lit(Long.MaxValue).as(n)): _*)
-    val sig = aggregate(sh, sig0, (acc, h) => struct(
-      names.zipWithIndex.map { case (n, k) =>
-        least(acc(n), xxhash64(h, lit(k))).as(n)
-      }: _*))
+    val sig = graft.functions.MinHash.signature(split(col("text"), " "), n = 3, k = 6)
     pages.select(col("url"), sig.as("sig"))
       .select(col("url"), explode(array(
-        xxhash64(col("sig.s0"), col("sig.s1"), col("sig.s2"), lit(0)),
-        xxhash64(col("sig.s3"), col("sig.s4"), col("sig.s5"), lit(1)))).as("band"))
+        xxhash64(element_at(col("sig"), 1), element_at(col("sig"), 2),
+          element_at(col("sig"), 3), lit(0)),
+        xxhash64(element_at(col("sig"), 4), element_at(col("sig"), 5),
+          element_at(col("sig"), 6), lit(1)))).as("band"))
   }
 
   /** Urls to drop under minhash near-dup. */

@@ -1,0 +1,95 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.hash.Murmur3_x86_32
+import org.apache.spark.unsafe.types.UTF8String
+
+/** MinHash signature over an n-gram shingling of a token array, as a
+  * native Catalyst expression.
+  *
+  * Why a custom Expression (builder-guide preference (b)): the same
+  * computation written with `transform` + `aggregate` higher-order
+  * functions is interpreted per array element by Catalyst's lambda
+  * evaluator — measured ~200 core-seconds per 10^6 pages; this
+  * expression runs one compiled Scala loop per row (~10x-100x less).
+  * Token hashes are computed once and shingle hashes are mixes of n
+  * consecutive token hashes — no shingle strings are materialized.
+  *
+  * Semantics: out[k] = min over shingles s of H_k(s), H_k = seeded
+  * 64-bit mix — the classic k-permutation MinHash estimator.
+  */
+case class MinHashSignature(child: Expression, n: Int, k: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_signature"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"minhash_signature expects array<string>, got $other")
+    }
+
+  // splitmix64 finalizer (pure, fast)
+  @inline private def mix64(x0: Long): Long = {
+    var x = x0 + 0x9e3779b97f4a7c15L
+    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+    x ^ (x >>> 31)
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val nTok = arr.numElements()
+    val mins = Array.fill(k)(Long.MaxValue)
+    if (nTok >= n) {
+      // one hash per token
+      val th = new Array[Long](nTok)
+      var i = 0
+      while (i < nTok) {
+        val s = arr.getUTF8String(i)
+        val h32 =
+          if (s == null) 0
+          else Murmur3_x86_32.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), 42)
+        th(i) = mix64(h32.toLong)
+        i += 1
+      }
+      // shingle hash = mix of n consecutive token hashes; k components
+      i = 0
+      val last = nTok - n
+      while (i <= last) {
+        var sh = 0L
+        var j = 0
+        while (j < n) { sh = mix64(sh ^ th(i + j)); j += 1 }
+        var kk = 0
+        while (kk < k) {
+          val hk = mix64(sh ^ (kk * 0xd6e8feb86659fd93L))
+          if (hk < mins(kk)) mins(kk) = hk
+          kk += 1
+        }
+        i += 1
+      }
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
+    copy(child = newChild)
+}
+
+object MinHash {
+  /** Column form: minhash signature (array<long> of k components) of the
+    * n-gram shingles of a token array column.
+    */
+  def signature(tokens: Column, n: Int = 3, k: Int = 6): Column =
+    org.apache.spark.sql.GraftExpressionBridge.column(
+      MinHashSignature(org.apache.spark.sql.GraftExpressionBridge.expression(tokens), n, k))
+}
