@@ -33,6 +33,9 @@ object Bench {
       // NVMe; this box's /tmp disk was the measured bottleneck)
       .config("spark.local.dir",
         sys.env.getOrElse("SPARK_LOCAL_DIRS", "/dev/shm/graft-spark"))
+      // the dedup dropped-url set (~100MB at 20M pages) must broadcast:
+      // as an SMJ it forces a sort of every extracted assertion row
+      .config("spark.sql.autoBroadcastJoinThreshold", "256m")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

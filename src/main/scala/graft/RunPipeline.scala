@@ -40,6 +40,9 @@ object RunPipeline {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.local.dir",
+        sys.env.getOrElse("SPARK_LOCAL_DIRS", "/dev/shm/graft-spark"))
+      .config("spark.sql.autoBroadcastJoinThreshold", "256m")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
