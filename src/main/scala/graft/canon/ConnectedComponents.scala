@@ -87,9 +87,15 @@ object ConnectedComponents {
       def unionFind[T: Ordering: scala.reflect.ClassTag](pairs: Array[(T, T)]): Array[(T, T)] = {
         val ord = implicitly[Ordering[T]]
         val parent = scala.collection.mutable.Map[T, T]()
+        // iterative find (walk to root, then compress) — chain-shaped
+        // inputs near the 64k threshold would overflow the stack with a
+        // non-tail-recursive form
         def find(x: T): T = {
-          val p = parent.getOrElse(x, x)
-          if (p == x) x else { val r = find(p); parent(x) = r; r }
+          var root = x
+          while (parent.getOrElse(root, root) != root) root = parent(root)
+          var cur = x
+          while (cur != root) { val next = parent(cur); parent(cur) = root; cur = next }
+          root
         }
         pairs.foreach { case (a, b) =>
           if (a != b) {

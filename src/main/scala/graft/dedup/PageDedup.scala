@@ -45,9 +45,18 @@ object PageDedup {
     * measured ~200 core-seconds per million pages; the expression is
     * ~100x cheaper at identical semantics.
     */
+  private val shingleN = 3
+
   private def bands(pages: DataFrame): DataFrame = {
-    val sig = graft.functions.MinHash.signature(split(col("text"), " "), n = 3, k = 6)
-    pages.select(col("url"), sig.as("sig"))
+    val toks = split(col("text"), " ")
+    val sig = graft.functions.MinHash.signature(toks, n = shingleN, k = 6)
+    // pages shorter than one shingle have NO shingles: the expression
+    // returns the Long.MaxValue sentinel signature, which would throw
+    // every short page into the same two buckets and silently drop all
+    // but one of them. Short pages can't be near-dup'd by shingles —
+    // they fall back to the exact fingerprint below.
+    pages.filter(size(toks) >= shingleN)
+      .select(col("url"), sig.as("sig"))
       .select(col("url"), explode(array(
         xxhash64(element_at(col("sig"), 1), element_at(col("sig"), 2),
           element_at(col("sig"), 3), lit(0)),
@@ -55,13 +64,18 @@ object PageDedup {
           element_at(col("sig"), 6), lit(1)))).as("band"))
   }
 
-  /** Urls to drop under minhash near-dup. */
+  /** Urls to drop under minhash near-dup. Sub-shingle-length pages are
+    * deduplicated by exact fingerprint instead (see [[bands]]).
+    */
   def minhashDropped(pages: DataFrame): DataFrame = {
     val b = bands(pages)
     val keepers = b.groupBy(col("band")).agg(min(col("url")).as("__keeper"))
-    b.join(keepers, "band")
+    val near = b.join(keepers, "band")
       .filter(col("url") > col("__keeper"))
-      .select(col("url")).distinct()
+      .select(col("url"))
+    val shortExact = exactDropped(
+      pages.filter(size(split(col("text"), " ")) < shingleN))
+    near.unionAll(shortExact).distinct()
   }
 
   def minhash(pages: DataFrame): DataFrame =

@@ -55,7 +55,8 @@ object KgPipeline {
       runId: String = "r0",
       threshold: Double = AssertionPruning.defaultThreshold,
       reviewN: Int = 10): PipelineResult =
-    runWith(spark, fixtureInputs(spark, cfg), tables, runId, threshold, reviewN)
+    runWith(spark, fixtureInputs(spark, cfg), tables, runId, threshold, reviewN,
+      inputId = s"fixture-${cfg.nPages}-${cfg.nEntities}-${cfg.seed}")
 
   /** Run the full pipeline over explicit inputs.
     *
@@ -73,7 +74,8 @@ object KgPipeline {
       runId: String = "r0",
       threshold: Double = AssertionPruning.defaultThreshold,
       reviewN: Int = 10,
-      dedup: String = "exact"): PipelineResult = {
+      dedup: String = "exact",
+      inputId: String = ""): PipelineResult = {
 
     val metrics = scala.collection.mutable.ArrayBuffer[StageMetrics]()
 
@@ -112,8 +114,24 @@ object KgPipeline {
     val ontology = inputs.ontology
     val sameAs = inputs.sameAs
 
+    // Input-identity fingerprint folded into the first stage's
+    // inputSnapshot id: resume must NOT skip stages when the same runId
+    // is re-used over a different input (different fixture scale, other
+    // parquet paths). Built from stable identity only — explicit inputId
+    // (fixture config via run(); caller-supplied otherwise), dedup mode,
+    // input schemas and file-source paths. Plan/closure hashes are NOT
+    // used: they differ per JVM and would break legitimate resume.
+    val inputFp = {
+      val parts = Seq(inputs.pages, inputs.aliasDict, inputs.entityKeywords,
+        inputs.ontology.toDF(), inputs.sameAs).flatMap(df =>
+        df.schema.catalogString +: df.inputFiles.sorted.toSeq)
+      val all = (dedup +: inputId +: parts).mkString("")
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(all.getBytes("UTF-8")).take(6).map(b => f"$b%02x").mkString
+    }
+
     // ---- extract: byte-identical text + pattern triple extraction
-    val (assertions, exSnap) = stage("assertions", s"input-$runId") {
+    val (assertions, exSnap) = stage("assertions", s"input-$runId-$inputFp") {
       // re-extract text from html and REQUIRE it to equal the stored text
       // (per-row invariant from BASELINE.json input_hint); rows where the
       // invariant would fail are surfaced via the `text_ok` guard column.
@@ -151,10 +169,11 @@ object KgPipeline {
     // per-relation CSC adjacency (data_utils.py:81-95) is exactly a
     // relation-partitioned table — `WHERE predicate = p` prunes to one
     // partition directory.
-    val (kept, keptSnap) = stage("triples", scoredSnap, partitionCols = Seq("predicate")) {
+    val (kept, keptSnap) = stage("triples", s"$scoredSnap-t$threshold",
+        partitionCols = Seq("predicate")) {
       AssertionPruning.prune(scored, threshold)
     }
-    val (review, _) = stage("review_queue", scoredSnap) {
+    val (review, _) = stage("review_queue", s"$scoredSnap-n$reviewN") {
       AssertionPruning.reviewQueue(scored, reviewN)
     }
 

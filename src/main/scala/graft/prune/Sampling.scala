@@ -18,9 +18,17 @@ object Sampling {
     */
   def hashSample(df: DataFrame, keyCols: Seq[Column], fraction: Double, seed: Long): DataFrame = {
     require(fraction >= 0 && fraction <= 1)
-    val bound = f"${math.round(fraction * 65536).toInt}%04x"
-    df.filter(
-      substring(md5(concat_ws("|", keyCols :+ lit(seed.toString): _*)), 1, 4) < bound)
+    // the 4-hex-char compare is lexicographic over exactly 4 chars; a
+    // bound of 0x10000 would render as 5 chars and compare wrongly, so
+    // the boundary fractions short-circuit
+    val scaled = math.round(fraction * 65536).toInt
+    if (scaled >= 65536) df
+    else if (scaled <= 0) df.limit(0)
+    else {
+      val bound = f"$scaled%04x"
+      df.filter(
+        substring(md5(concat_ws("|", keyCols :+ lit(seed.toString): _*)), 1, 4) < bound)
+    }
   }
 
   /** Stratified proportional sample with EXACT per-stratum counts

@@ -75,6 +75,17 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     assert(sDist("3") == "10")
   }
 
+  test("driver fast path survives a deep chain processed in descending order") {
+    // ADVICE r1: the recursive find overflowed the stack on chain-shaped
+    // graphs near the 64k threshold; the iterative form must not
+    val n = 60000L
+    val edges = (n to 1L by -1L).map(i => i -> (i - 1)) // descending: worst case
+    val got = ConnectedComponents.run(edges.toDF("src", "dst"))
+      .as[(Long, Long)].collect().toMap
+    assert(got.size == (n + 1).toInt)
+    assert(got.values.toSet == Set(0L))
+  }
+
   test("canonicalization matches the driver union-find oracle") {
     val cfg = Fixtures.tiny
     val sameAs = Fixtures.sameAs(spark, cfg).toDF("src", "dst")

@@ -40,6 +40,20 @@ class DedupSpec extends AnyFunSuite {
     assert(!out.contains("https://b/2"), "exact dup must collide in every band")
   }
 
+  test("minhash dedup: distinct short pages all survive; identical short pages dedup") {
+    // ADVICE r1: sub-shingle pages all got the sentinel signature and were
+    // mass-dropped as 'near-duplicates' of each other
+    val pages = Seq(
+      page("https://s/1", "alpha beta"),
+      page("https://s/2", "gamma delta"),
+      page("https://s/3", "epsilon"),
+      page("https://s/4", "gamma delta"), // exact dup of s/2
+      page("https://t/1", "one two three four five six seven eight nine ten"))
+      .toDF()
+    val out = PageDedup.minhash(pages).select("url").as[String].collect().toSet
+    assert(out == Set("https://s/1", "https://s/2", "https://s/3", "https://t/1"))
+  }
+
   test("dedup modes: none is identity; exact drops the fixture's true dups") {
     val cfg = Fixtures.tiny
     val pages = Fixtures.pages(spark, cfg).toDF()

@@ -51,6 +51,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(ent.columns.toSeq.sorted == Seq("entity", "id"))
   }
 
+  test("resume is keyed by input identity: same runId over a DIFFERENT input re-runs") {
+    val root = Files.createTempDirectory("graft-tables").toString
+    val tf = new TableFormat(root)
+    val r1 = KgPipeline.run(spark, Fixtures.tiny, Some(tf), runId = "rB")
+    def assertionRows(m: Seq[graft.pipeline.StageMetrics]): Long =
+      m.find(_.stage == "assertions").map(_.rows).getOrElse(-1L)
+    assert(assertionRows(r1.metrics) > 0)
+    // same runId, bigger fixture: silently skipping would report the tiny
+    // run's output under the new label (ADVICE r1, medium)
+    val cfg2 = Fixtures.tiny.copy(nPages = Fixtures.tiny.nPages * 2)
+    val r2 = KgPipeline.run(spark, cfg2, Some(tf), runId = "rB")
+    assert(r2.metrics.nonEmpty, "different input with the same runId must NOT resume")
+    assert(assertionRows(r2.metrics) > assertionRows(r1.metrics),
+      "the re-run must process the NEW (larger) input")
+  }
+
   test("review queue has at most N rows, ordered by uncertainty desc") {
     val cfg = Fixtures.tiny
     val res = KgPipeline.run(spark, cfg, reviewN = 5)

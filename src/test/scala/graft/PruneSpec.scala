@@ -100,6 +100,17 @@ class PruneSpec extends AnyFunSuite {
 
   // ------------------------------------------------- anti-join reconcile
 
+  test("hashSample boundary fractions: 1.0 keeps all rows, 0.0 keeps none") {
+    // ADVICE r1: bound "10000" (5 chars) compared lexicographically against
+    // 4-char prefixes excluded high-hash rows at fraction 1.0
+    val df = (1 to 500).map(i => (i, s"k$i")).toDF("id", "k")
+    assert(graft.prune.Sampling.hashSample(df, Seq(col("k")), 1.0, 7L).count() == 500)
+    assert(graft.prune.Sampling.hashSample(df, Seq(col("k")), 0.9999999, 7L).count() == 500)
+    assert(graft.prune.Sampling.hashSample(df, Seq(col("k")), 0.0, 7L).count() == 0)
+    val half = graft.prune.Sampling.hashSample(df, Seq(col("k")), 0.5, 7L).count()
+    assert(half > 200 && half < 300)
+  }
+
   test("anti-join reconciliation: row count conserved, refilled pairs win") {
     val orig = Seq(
       ("s1", "orig_p", "o1"), ("s2", "orig_p", "o2"), ("s3", "orig_p", "o3"))

@@ -7,13 +7,17 @@ set -eu
 cd "$(dirname "$0")/.."
 MEM=12g
 EXTRA=""
-while [[ "$1" == -* ]]; do
+while [[ $# -gt 0 && "$1" == -* ]]; do
   case "$1" in
     -mem) MEM=$2; shift 2;;
     -opts) EXTRA=$2; shift 2;;
     *) echo "unknown flag $1" >&2; exit 2;;
   esac
 done
+if [[ $# -eq 0 ]]; then
+  echo "usage: tools/run_class.sh [-mem 12g] [-opts \"-XX:...\"] <mainClass> [args...]" >&2
+  exit 2
+fi
 ADD_OPENS=""
 for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
          java.nio java.util java.util.concurrent java.util.concurrent.atomic; do
