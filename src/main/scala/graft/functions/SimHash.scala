@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** SimHash document fingerprinting over token arrays, as pure Column
@@ -41,4 +41,62 @@ object SimHash {
   /** Hamming distance between two simhash longs. */
   def hamming(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
+
+  // ------------------------------------------------------------------
+  // Engine-portable relational form (oracle-checkable + the scale path)
+  // ------------------------------------------------------------------
+
+  /** Relational 32-bit simhash: bit b of token t = (hex char b of
+    * md5(t)) >= '8'; fingerprint bit = strict-majority vote over tokens.
+    *
+    * Fully codegen'd relational plan (explode + 32-way bit-index cross
+    * join + two map-side-combinable aggregations keyed on (id, bit) then
+    * id) — no interpreted lambdas in the hot path, shuffle rows are
+    * (id, bit, vote) ints, and the identical computation is expressible
+    * in ANSI SQL / DuckDB, so the banded near-dup query has a full
+    * rows+schema+hash oracle.
+    *
+    * Returns (idCol, sh: long).
+    */
+  def fingerprintsPortable(docs: DataFrame, idCol: String, tokens: Column): DataFrame = {
+    val spark = docs.sparkSession
+    val bitIdx = spark.range(bits).select(col("id").cast("int").as("b"))
+    val tok = docs.select(col(idCol), explode(tokens).as("tk"))
+      .select(col(idCol), md5(col("tk")).as("h"))
+    tok.crossJoin(broadcast(bitIdx))
+      .groupBy(col(idCol), col("b"))
+      .agg(sum(when(expr("substring(h, b + 1, 1)") >= "8", 1).otherwise(-1)).as("vote"))
+      .groupBy(col(idCol))
+      .agg(sum(when(col("vote") > 0,
+        expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(0L)).as("sh"))
+  }
+
+  /** Banded near-duplicate pairs over 32-bit fingerprints
+    * (Manku et al., WWW'07): split each fingerprint into 4 byte bands,
+    * equi-join on (band_idx, band_value), Hamming-verify only bucket
+    * collisions. With 4 bands, any pair within Hamming distance 3 shares
+    * at least one untouched band (pigeonhole), so the result is EXACTLY
+    * the all-pairs result for maxHamming <= 3 — with O(collisions)
+    * comparisons instead of O(N^2). Skewed buckets split under AQE.
+    *
+    * fps: (id, sh). Returns (id1, id2, hamming), id1 < id2.
+    */
+  def bandedPairs(fps: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3,
+      s"4 byte-bands guarantee completeness only for hamming <= 3, got $maxHamming")
+    val idCol = fps.columns(0)
+    val banded = fps.select(col(idCol).as("id"), col("sh"),
+      explode(array((0 until 4).map(bd => struct(
+        lit(bd).as("bd"),
+        shiftright(col("sh"), 8 * bd).bitwiseAND(lit(255L)).as("bv"))): _*)).as("band"))
+      .select(col("id"), col("sh"), col("band.bd").as("bd"), col("band.bv").as("bv"))
+    val right = banded.select(col("id").as("id2"), col("sh").as("sh2"),
+      col("bd"), col("bv"))
+    banded.join(right, Seq("bd", "bv"))
+      .filter(col("id") < col("id2"))
+      .select(col("id").as("id1"), col("id2"), col("sh"), col("sh2")).distinct()
+      .withColumn("hamming", hamming(col("sh"), col("sh2")))
+      .filter(col("hamming") <= maxHamming)
+      .select("id1", "id2", "hamming")
+  }
 }

@@ -310,19 +310,39 @@ object DataQueries {
              |           * sqrt(list_sum(list_transform(b.v, x -> x*x)))), 6) >= 0.35""".stripMargin)),
 
     QueryDef("q48_simhash_neardup",
-      // SimHash near-dup pairs (hamming <= 6 over 32-bit fingerprints).
-      // No SQL oracle: bit-vote aggregation has no portable DuckDB form;
-      // driver applies the rows-only check. Semantics covered by OpsSpec.
+      // Banded SimHash near-dup (Manku WWW'07): portable md5-hex-vote
+      // fingerprints, 4 byte-bands, equi-join on (band, value), Hamming
+      // verify <= 3 — exactly the all-pairs result at this threshold
+      // (pigeonhole) with O(collisions) comparisons, not O(N^2). Round 1
+      // shipped a crossJoin here; this is the form that survives 100 TB
+      // and it gains the full rows+schema+hash oracle.
       (s, d) => {
-        val fp = table(s, d, "documents")
-          .select(col("doc_id"), graft.functions.SimHash.simhash(toks).as("sh"))
-        val b = fp.select(col("doc_id").as("id2"), col("sh").as("sh2"))
-        fp.crossJoin(b).filter(col("doc_id") < col("id2"))
-          .withColumn("hamming", graft.functions.SimHash.hamming(col("sh"), col("sh2")))
-          .filter(col("hamming") <= 6)
-          .select(col("doc_id").as("id1"), col("id2"), col("hamming"))
+        val fp = graft.functions.SimHash.fingerprintsPortable(
+          table(s, d, "documents"), "doc_id", toks)
+        graft.functions.SimHash.bandedPairs(fp, maxHamming = 3)
       },
-      None),
+      Some("""WITH tok AS (
+             |  SELECT doc_id, md5(t) AS h
+             |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents) u),
+             |votes AS (
+             |  SELECT doc_id, b,
+             |         sum(CASE WHEN substring(h, CAST(b + 1 AS INTEGER), 1) >= '8'
+             |                  THEN 1 ELSE -1 END) AS vote
+             |  FROM tok, range(32) r(b) GROUP BY doc_id, b),
+             |fp AS (
+             |  SELECT doc_id,
+             |         CAST(sum(CASE WHEN vote > 0 THEN (1::BIGINT << CAST(b AS INTEGER))
+             |                       ELSE 0 END) AS BIGINT) AS sh
+             |  FROM votes GROUP BY doc_id),
+             |bands AS (
+             |  SELECT doc_id, sh, b AS bd, (sh >> CAST(8 * b AS INTEGER)) & 255 AS bv
+             |  FROM fp, range(4) r(b)),
+             |pairs AS (
+             |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2, a.sh AS sh1, b.sh AS sh2
+             |  FROM bands a JOIN bands b
+             |    ON a.bd = b.bd AND a.bv = b.bv AND a.doc_id < b.doc_id)
+             |SELECT id1, id2, CAST(bit_count(xor(sh1, sh2)) AS INTEGER) AS hamming
+             |FROM pairs WHERE bit_count(xor(sh1, sh2)) <= 3""".stripMargin)),
 
     QueryDef("q49_ann_lsh_topk",
       // LSH-bucketed approximate top-3 neighbors (scale path for q42's

@@ -198,7 +198,11 @@ object KgQueries {
     QueryDef("q15_auc",
       // rank-statistic AUC (trainer.py:143-144 reinterpreted):
       // label = value > 100, score as in Q.scored; deterministic
-      // row_number tiebreak on event_id keeps both engines identical
+      // row_number tiebreak on event_id keeps both engines identical.
+      // EXACT INTEGER output (round 1 shipped a rounded double whose
+      // 6dp half-boundary hashed differently across engines): p, n, the
+      // positive rank-sum, and the AUC in micro-units via integral
+      // division — U = rank_sum - p(p+1)/2, auc_micro = U*1e6 div (p*n).
       (s, d) => {
         val t = triples(s, d)
           .withColumn("pos", (col("value") > 100.0).cast("int"))
@@ -206,24 +210,26 @@ object KgQueries {
           .withColumn("rnk", row_number().over(
             Window.orderBy(col("score"), col("event_id"))))
         t.agg(
-          sum(col("pos")).as("p"),
-          sum(lit(1) - col("pos")).as("n"),
-          round(
-            (sum(when(col("pos") === 1, col("rnk")).otherwise(0)).cast("double")
-              - sum(col("pos")).cast("double") * (sum(col("pos")).cast("double") + 1) / 2.0)
-              / (sum(col("pos")).cast("double") * sum(lit(1) - col("pos")).cast("double")),
-            6).as("auc"))
+          sum(col("pos")).cast("long").as("p"),
+          sum(lit(1) - col("pos")).cast("long").as("n"),
+          sum(when(col("pos") === 1, col("rnk")).otherwise(0)).cast("long")
+            .as("rank_sum_pos"))
+          .select(col("p"), col("n"), col("rank_sum_pos"),
+            expr("((rank_sum_pos - (p * (p + 1)) DIV 2) * 1000000) DIV (p * n)")
+              .as("auc_micro"))
       },
       Some(s"""WITH t AS (
               |  SELECT CASE WHEN value > 100.0 THEN 1 ELSE 0 END AS pos,
               |         CAST(event_id % 100 AS DOUBLE) / 100.0 AS score, event_id
               |  FROM ($triplesSql) x),
-              |r AS (SELECT pos, row_number() OVER (ORDER BY score, event_id) AS rnk FROM t)
-              |SELECT sum(pos) AS p, sum(1 - pos) AS n,
-              |  round((CAST(sum(CASE WHEN pos = 1 THEN rnk ELSE 0 END) AS DOUBLE)
-              |         - CAST(sum(pos) AS DOUBLE) * (CAST(sum(pos) AS DOUBLE) + 1) / 2.0)
-              |        / (CAST(sum(pos) AS DOUBLE) * CAST(sum(1 - pos) AS DOUBLE)), 6) AS auc
-              |FROM r""".stripMargin)),
+              |r AS (SELECT pos, row_number() OVER (ORDER BY score, event_id) AS rnk FROM t),
+              |agg AS (SELECT CAST(sum(pos) AS BIGINT) AS p,
+              |               CAST(sum(1 - pos) AS BIGINT) AS n,
+              |               CAST(sum(CASE WHEN pos = 1 THEN rnk ELSE 0 END) AS BIGINT) AS rank_sum_pos
+              |        FROM r)
+              |SELECT p, n, rank_sum_pos,
+              |  ((rank_sum_pos - (p * (p + 1)) // 2) * 1000000) // (p * n) AS auc_micro
+              |FROM agg""".stripMargin)),
 
     // ------------------------------------------------ windows (§2.5)
     QueryDef("q16_uncertainty_topk",

@@ -27,6 +27,29 @@ class OpsSpec extends AnyFunSuite {
     assert(near <= 8)
   }
 
+  test("banded simhash pairs == brute-force all-pairs at hamming <= 3") {
+    // 4 byte-bands are complete for hamming <= 3 (pigeonhole): the banded
+    // candidate join must reproduce the crossJoin result exactly
+    val docs = (1L to 120L).map { i =>
+      val base = Seq("alpha", "beta", "gamma", "delta", "epsilon",
+        "zeta", "eta", "theta", "iota", "kappa")
+      val words = base.map(w => if (i % 7 == 0) w else s"$w${i % 11}")
+      (i, words.mkString(" "))
+    }.toDF("doc_id", "text")
+    val fp = SimHash.fingerprintsPortable(docs, "doc_id", split(col("text"), " "))
+    val banded = SimHash.bandedPairs(fp, maxHamming = 3)
+      .as[(Long, Long, Int)].collect().toSet
+    val right = fp.select(col("doc_id").as("id2"), col("sh").as("sh2"))
+    val brute = fp.crossJoin(right).filter(col("doc_id") < col("id2"))
+      .withColumn("hamming", SimHash.hamming(col("sh"), col("sh2")))
+      .filter(col("hamming") <= 3)
+      .select(col("doc_id"), col("id2"), col("hamming"))
+      .as[(Long, Long, Int)].collect().toSet
+    assert(banded == brute)
+    assert(brute.nonEmpty, "fixture must actually produce near-dup pairs")
+    assertThrows[IllegalArgumentException](SimHash.bandedPairs(fp, maxHamming = 4))
+  }
+
   test("simhash hamming column matches JVM bitCount") {
     val rows = Seq((0xffL, 0x0fL)).toDF("a", "b")
       .select(SimHash.hamming(col("a"), col("b"))).as[Int].collect()
