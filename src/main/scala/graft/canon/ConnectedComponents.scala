@@ -15,8 +15,11 @@ import org.apache.spark.sql.functions._
   * (node -> neighbors) grouping.
   *
   * Node ids are treated as an ordered opaque column (strings order
-  * lexicographically; dictionary-encode to longs upstream when shuffle
-  * width matters). Every round the plan lineage is truncated with
+  * lexicographically). The distributed path dictionary-encodes string
+  * ids to dense longs before the star rounds — shuffle keys are 8 bytes
+  * regardless of id width — and decodes afterwards; the encoding is
+  * order-isomorphic so min-id roots equal min-string roots. Every round
+  * the plan lineage is truncated with
   * localCheckpoint — otherwise Catalyst re-analysis grows superlinearly
   * (SURVEY.md §4 item 2).
   */
@@ -54,6 +57,22 @@ object ConnectedComponents {
       .select(col("m").as("a"), col("a").as("b")) // m < v always
     val self = mins.select(col("m").as("a"), col("u").as("b"))
     rewired.union(self)
+  }
+
+  /** Dictionary-encode string edge endpoints to dense longs (order-
+    * isomorphic: ids follow lexicographic key order). Returns
+    * (encoded(a: long, b: long), dict(k: string, id: long)).
+    */
+  def encodeEdges(edges: DataFrame): (DataFrame, DataFrame) = {
+    val (c0, c1) = (edges.columns(0), edges.columns(1))
+    val nodes = edges.select(col(c0).as("k"))
+      .unionAll(edges.select(col(c1).as("k"))).distinct()
+    val dict = graft.core.Ids.dictionary(nodes, "k").localCheckpoint(true)
+    val encoded = edges
+      .join(dict.select(col("k").as(c0), col("id").as("__ea")), Seq(c0))
+      .join(dict.select(col("k").as(c1), col("id").as("__eb")), Seq(c1))
+      .select(col("__ea").as("a"), col("__eb").as("b"))
+    (encoded, dict)
   }
 
   private def checksum(e: DataFrame): (BigDecimal, Long) = {
@@ -118,6 +137,23 @@ object ConnectedComponents {
         }
       return typed.select(col("id").cast(idType).as("id"),
         col("component").cast(idType).as("component"))
+    }
+    // Distributed path over STRING ids: dictionary-encode to dense longs
+    // first (the file's own scale note, r1 VERDICT item 10). ~6 star
+    // rounds x 3 shuffles each move every id; 8-byte longs instead of
+    // arbitrary strings cut the shuffle width, for the price of one
+    // dictionary sort + two encode joins + two decode joins. Ids are
+    // assigned in lexicographic key order (Ids.dictionary), so min-id
+    // component roots decode back to exactly the min-string roots.
+    if (edges.schema(edges.columns(0)).dataType ==
+        org.apache.spark.sql.types.StringType) {
+      val (encoded, dict) = encodeEdges(edges)
+      val ccLong = run(encoded, maxIter, driverThreshold = 0)
+      return ccLong
+        .join(dict.select(col("k").as("__ik"), col("id")), Seq("id"))
+        .join(dict.select(col("k").as("__ck"), col("id").as("component")),
+          Seq("component"))
+        .select(col("__ik").as("id"), col("__ck").as("component"))
     }
     var e = canonical(edges).localCheckpoint(true)
     var prev = checksum(e)

@@ -42,6 +42,49 @@ object Bfs {
     visited
   }
 
+  /** All-pairs shortest-path distances within components, bounded by
+    * maxDepth (reference eccentricity/diameter/radius stats,
+    * /root/reference/src/gnn/lcilp/utils/graph_utils.py:163-180 —
+    * networkx single-process; here one BFS frontier DataFrame keyed by
+    * source node, so every source expands in the same level-synchronous
+    * job). und(src,dst) must be symmetric. Returns (a, node, dist) for
+    * every node within maxDepth of a (dist is the exact shortest path:
+    * first level reached = minimum, enforced by the visited anti-join).
+    */
+  def allPairsDistances(und: DataFrame, maxDepth: Int): DataFrame = {
+    var dist = und.select(col("src").as("a"))
+      .unionAll(und.select(col("dst").as("a"))).distinct()
+      .select(col("a"), col("a").as("node"), lit(0).as("dist"))
+      .localCheckpoint(true)
+    var frontier = dist
+    var d = 0
+    while (d < maxDepth && frontier.limit(1).count() > 0) {
+      d += 1
+      val next = frontier
+        .join(und, frontier("node") === und("src"))
+        .select(col("a"), col("dst").as("node")).distinct()
+        .join(dist.select(col("a").as("__va"), col("node").as("__vn")),
+          col("a") === col("__va") && col("node") === col("__vn"), "left_anti")
+        .select(col("a"), col("node"), lit(d).as("dist"))
+      frontier = next.localCheckpoint(true)
+      dist = dist.unionAll(frontier).localCheckpoint(true)
+    }
+    dist
+  }
+
+  /** Per-component eccentricity stats over the bounded all-pairs
+    * distances: (component, diameter, radius, n_nodes); component id =
+    * min node id reachable (graph_utils.py:163-180).
+    */
+  def eccentricityStats(und: DataFrame, maxDepth: Int): DataFrame = {
+    val ecc = allPairsDistances(und, maxDepth)
+      .groupBy(col("a"))
+      .agg(max(col("dist")).as("ecc"), min(col("node")).as("component"))
+    ecc.groupBy(col("component"))
+      .agg(max(col("ecc")).as("diameter"), min(col("ecc")).as("radius"),
+        count(lit(1)).as("n_nodes"))
+  }
+
   /** Both-direction edge list. */
   def undirected(edges: DataFrame): DataFrame = {
     val (s, d) = (col(edges.columns(0)), col(edges.columns(1)))

@@ -15,16 +15,24 @@ import scala.collection.mutable
   */
 object Ppr {
 
-  /** alpha=0.85, eps=1e-3 defaults mirror multicom.py:52. */
+  /** alpha=0.85, eps=1e-3 defaults mirror multicom.py:52.
+    *
+    * `fullDeg` (optional): true full-graph degrees for nodes whose `adj`
+    * entry is a beam-local truncation — pushes then normalize by the
+    * real degree, and mass owed to outside-beam neighbors is dropped
+    * (it is below eps at the beam boundary by construction).
+    */
   def approximatePpr(
       adj: Map[Long, Array[Long]],
       seeds: Seq[Long],
       alpha: Double = 0.85,
-      eps: Double = 1e-3): Map[Long, Double] = {
+      eps: Double = 1e-3,
+      fullDeg: Map[Long, Int] = Map.empty): Map[Long, Double] = {
     val p = mutable.Map[Long, Double]().withDefaultValue(0.0)
     val r = mutable.Map[Long, Double]().withDefaultValue(0.0)
     seeds.foreach(s => r(s) = 1.0 / seeds.size)
-    def deg(u: Long): Int = adj.getOrElse(u, Array.empty).length
+    def deg(u: Long): Int =
+      fullDeg.getOrElse(u, adj.getOrElse(u, Array.empty).length)
     val queue = mutable.Queue[Long](seeds.filter(s => r(s) >= eps * math.max(deg(s), 1)): _*)
     val inQueue = mutable.Set[Long](queue.toSeq: _*)
     while (queue.nonEmpty) {
@@ -50,10 +58,17 @@ object Ppr {
     * early stop window of 10 (multicom.py:93-141). Returns the community
     * node set.
     */
-  def sweepCut(adj: Map[Long, Array[Long]], ppr: Map[Long, Double]): Set[Long] = {
+  def sweepCut(
+      adj: Map[Long, Array[Long]],
+      ppr: Map[Long, Double],
+      fullDeg: Map[Long, Int] = Map.empty,
+      totalVolOverride: Option[Double] = None): Set[Long] = {
     val order = ppr.toSeq.sortBy { case (n, s) => (-s, n) }.map(_._1)
     if (order.isEmpty) return Set.empty
-    val totalVol = adj.values.map(_.length.toLong).sum.toDouble
+    def degOf(u: Long): Int =
+      fullDeg.getOrElse(u, adj.getOrElse(u, Array.empty).length)
+    val totalVol = totalVolOverride.getOrElse(
+      adj.values.map(_.length.toLong).sum.toDouble)
     val in = mutable.Set[Long]()
     var vol = 0.0
     var cut = 0.0
@@ -64,8 +79,12 @@ object Ppr {
     while (i < order.length && sinceBest < 10) {
       val u = order(i)
       val nbrs = adj.getOrElse(u, Array.empty)
-      vol += nbrs.length
-      cut += nbrs.count(v => !in(v)) - nbrs.count(v => in(v))
+      // cut delta: the node's full degree minus twice its edges into the
+      // set; beam-internal edges are complete (induced subgraph), so
+      // with fullDeg this equals the full-graph conductance restricted
+      // to candidate sets inside the beam
+      vol += degOf(u)
+      cut += degOf(u) - 2 * nbrs.count(v => in(v))
       in += u
       val denom = math.min(vol, totalVol - vol)
       val cond = if (denom <= 0) Double.MaxValue else cut / denom

@@ -1,6 +1,7 @@
 package graft.graph
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Enclosing-subgraph extraction + double-radius node labeling for
@@ -15,7 +16,16 @@ import org.apache.spark.sql.functions._
   *  - d(v, head) is computed with tail REMOVED from the graph, and
   *    d(v, tail) with head removed (graph_sampler.py:365-391);
   *  - roots keep labels (0,1)/(1,0);
-  *  - prune to nodes with max(d_head, d_tail) <= h.
+  *  - prune to nodes with max(d_head, d_tail) <= h;
+  *  - optional per-level frontier cap `maxNodesPerHop` mirroring the
+  *    reference's down-sampling knob (utils/dgl_utils.py:26-27) with a
+  *    deterministic md5 order instead of np.random.choice — without it a
+  *    hub entity in the candidate set grows the frontier by
+  *    candidates x hub-degree rows per level.
+  *
+  * [[encloseAndLabelCommunity]] additionally reproduces the reference's
+  * ALWAYS-ON multicom community pruning (graph_sampler.py:319-325) as a
+  * mapGroups beam per candidate.
   */
 object Subgraphs {
 
@@ -23,7 +33,11 @@ object Subgraphs {
     * Returns one row per kept subgraph node:
     * (edge_id, node, d_head, d_tail).
     */
-  def encloseAndLabel(edges: DataFrame, candidates: DataFrame, h: Int): DataFrame = {
+  def encloseAndLabel(
+      edges: DataFrame,
+      candidates: DataFrame,
+      h: Int,
+      maxNodesPerHop: Option[Int] = None): DataFrame = {
 
     // BFS from one root per candidate with the OTHER root removed.
     // frontier rows: (edge_id, other, node, dist)
@@ -36,7 +50,7 @@ object Subgraphs {
       var level = 0
       while (level < h && frontier.limit(1).count() > 0) {
         level += 1
-        val next = frontier
+        var next = frontier
           .join(edges, frontier("node") === edges("src"))
           .filter(col("dst") =!= col("other")) // other root removed
           .select(col("edge_id"), col("other"), col("dst").as("node"))
@@ -44,6 +58,14 @@ object Subgraphs {
           .join(visited.select(col("edge_id").as("v_eid"), col("node").as("v_node")),
             col("edge_id") === col("v_eid") && col("node") === col("v_node"),
             "left_anti")
+        // per-candidate per-level cap (dgl_utils.py:26-27): bounded
+        // frontier even when a candidate touches a hub node
+        maxNodesPerHop.foreach { cap =>
+          next = next.withColumn("__rn", row_number().over(
+            Window.partitionBy("edge_id").orderBy(md5(col("node").cast("string")))))
+            .filter(col("__rn") <= cap)
+            .drop("__rn")
+        }
         frontier = next
           .select(col("edge_id"), col("other"), col("node"), lit(level).as("dist"))
           .localCheckpoint(true)
@@ -72,6 +94,153 @@ object Subgraphs {
       .filter(greatest(col("d_head"), col("d_tail")) <= h)
 
     roots.unionAll(nonRoots)
+  }
+
+  /** One gathered beam row: an induced edge of a candidate's h-hop
+    * union neighborhood, with the candidate roots and the src node's
+    * FULL-graph degree carried along (the conductance sweep must see
+    * true degrees, not beam-truncated ones, to match the reference's
+    * full-graph multicom).
+    */
+  final case class BeamEdge(
+      edge_id: String, head: Long, tail: Long, src: Long, dst: Long,
+      src_deg: Long)
+  final case class LabeledNode(
+      edge_id: String, node: Long, d_head: Int, d_tail: Int)
+
+  /** Community-pruned enclosing subgraphs — the reference's ALWAYS-ON
+    * flow (graph_sampler.py:319-325):
+    *
+    *   1. union neighborhood U = N_h(head) ∪ N_h(tail) (per-level caps);
+    *   2. multicom: approximate PPR from seeds {head, tail} + conductance
+    *      sweep cut -> community C (multicom.py:52-141);
+    *   3. nodes = {head, tail} ∪ ((C \ roots) ∩ U);
+    *   4. double-radius labels = BFS distances WITHIN the induced
+    *      subgraph on those nodes, other root removed
+    *      (node_label, graph_sampler.py:365-391);
+    *   5. prune to max(d_head, d_tail) <= h.
+    *
+    * Distributed shape: the neighborhood gather and induced-edge
+    * collection are batched frontier joins over ALL candidates (rows
+    * keyed by edge_id); the PPR + sweep + local BFS run inside ONE
+    * mapGroups beam per candidate over its gathered (small, capped)
+    * subgraph — the reference runs the same per-link computation in an
+    * mp.Pool worker. Deviation (documented): the reference evaluates PPR
+    * on the full graph; the beam evaluates it on the gathered h-hop
+    * neighborhood — the push algorithm's mass outside the seeds'
+    * neighborhood is below eps by construction.
+    *
+    * edges(src,dst) symmetric with LONG node ids (dictionary-encode
+    * upstream); candidates(edge_id, head, tail).
+    * Returns (edge_id, node, d_head, d_tail).
+    */
+  def encloseAndLabelCommunity(
+      edges: DataFrame,
+      candidates: DataFrame,
+      h: Int,
+      maxNodesPerHop: Option[Int] = None): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+
+    // 1. per-candidate union neighborhood, both roots seeded at once
+    var visited = candidates.select(col("edge_id"), col("head").as("node"))
+      .unionAll(candidates.select(col("edge_id"), col("tail").as("node")))
+      .distinct()
+      .localCheckpoint(true)
+    var frontier = visited
+    var level = 0
+    while (level < h && frontier.limit(1).count() > 0) {
+      level += 1
+      var next = frontier
+        .join(edges, frontier("node") === edges("src"))
+        .select(col("edge_id"), col("dst").as("node"))
+        .distinct()
+        .join(visited.select(col("edge_id").as("v_eid"), col("node").as("v_node")),
+          col("edge_id") === col("v_eid") && col("node") === col("v_node"),
+          "left_anti")
+        .select("edge_id", "node")
+      maxNodesPerHop.foreach { cap =>
+        next = next.withColumn("__rn", row_number().over(
+          Window.partitionBy("edge_id").orderBy(md5(col("node").cast("string")))))
+          .filter(col("__rn") <= cap)
+          .drop("__rn")
+      }
+      frontier = next.localCheckpoint(true)
+      visited = visited.unionAll(frontier).localCheckpoint(true)
+    }
+
+    // full-graph degree per node + total volume (symmetric edge list:
+    // out-degree == degree, row count == volume) — the sweep needs both
+    val degrees = edges.groupBy(col("src")).agg(count(lit(1)).as("__deg"))
+    val totalVol = edges.count().toDouble
+
+    // 2. induced edges per candidate (both endpoints in the beam)
+    val n1 = visited.select(col("edge_id"), col("node").as("__s"))
+    val n2 = visited.select(col("edge_id").as("__e2"), col("node").as("__d"))
+    val induced = edges
+      .join(n1, edges("src") === n1("__s"))
+      .join(n2, col("edge_id") === col("__e2") && edges("dst") === n2("__d"))
+      .select(col("edge_id"), col("src"), col("dst"))
+    // marker row per candidate guarantees every candidate forms a group
+    // even when its beam has no induced edges (self-loops are ignored by
+    // the adjacency build below)
+    val markers = candidates.select(col("edge_id"),
+      col("head").as("src"), col("head").as("dst"))
+    val beam = induced.unionAll(markers)
+      .join(candidates, Seq("edge_id"))
+      .join(degrees, Seq("src"), "left")
+      .select(col("edge_id"), col("head"), col("tail"), col("src"), col("dst"),
+        coalesce(col("__deg"), lit(0L)).as("src_deg"))
+      .as[BeamEdge]
+
+    // 3-5. per-candidate beam: multicom + induced-subgraph double-radius
+    beam.groupByKey(_.edge_id).flatMapGroups { (eid, rows) =>
+      val buf = rows.toArray
+      val head = buf.head.head
+      val tail = buf.head.tail
+      val fullDeg: Map[Long, Int] =
+        buf.iterator.map(r => r.src -> r.src_deg.toInt).toMap
+      val adj: Map[Long, Array[Long]] = buf.iterator
+        .filter(r => r.src != r.dst)
+        .map(r => r.src -> r.dst) // edges arrive symmetric
+        .toSeq.groupBy(_._1)
+        .map { case (k, v) => k -> v.map(_._2).distinct.sorted.toArray }
+      val ppr = Ppr.approximatePpr(adj, Seq(head, tail), fullDeg = fullDeg)
+      val community = Ppr.sweepCut(adj, ppr, fullDeg, Some(totalVol))
+      val cluster = (community - head - tail)
+        .intersect(adj.keySet ++ adj.valuesIterator.flatten) // C ∩ U
+      val subNodes = Set(head, tail) ++ cluster
+      val subAdj: Map[Long, Array[Long]] = adj.collect {
+        case (k, vs) if subNodes(k) => k -> vs.filter(subNodes)
+      }
+      // BFS within the induced subgraph, one root removed
+      def dists(root: Long, removed: Long): Map[Long, Int] = {
+        val d = scala.collection.mutable.Map(root -> 0)
+        var front = List(root)
+        var lvl = 0
+        while (front.nonEmpty && lvl < h) {
+          lvl += 1
+          front = front
+            .flatMap(u => subAdj.getOrElse(u, Array.empty[Long]))
+            .filter(v => v != removed && !d.contains(v))
+            .distinct
+          front.foreach(v => d(v) = lvl)
+        }
+        d.toMap
+      }
+      val dh = dists(head, tail)
+      val dt = dists(tail, head)
+      val rootRows = Iterator(
+        LabeledNode(eid, head, 0, 1), LabeledNode(eid, tail, 1, 0))
+      val nodeRows = cluster.iterator.flatMap { n =>
+        (dh.get(n), dt.get(n)) match {
+          case (Some(a), Some(b)) if math.max(a, b) <= h =>
+            Iterator(LabeledNode(eid, n, a, b))
+          case _ => Iterator.empty // unreachable from a root -> pruned
+        }
+      }
+      rootRows ++ nodeRows
+    }.toDF()
   }
 
   /** Assemble per-candidate subgraph records: sorted node list + labels

@@ -1,6 +1,6 @@
 package graft.prune
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -26,6 +26,63 @@ object Refill {
       .withColumn("predicate",
         when(col("__rn") <= col("__quota"), lit("")).otherwise(col("predicate")))
       .drop("__rn", "__quota")
+  }
+
+  /** Priority-fill to maxRows (reference
+    * /root/reference/src/knowledge-graph/extract.py:150-195):
+    *  1. target subjects keep at most `maxObjectsPerSubject` triples;
+    *  2. target<->target triples get priority 1, the rest 2; the first
+    *     `maxRows` in (priority, md5) order form the core;
+    *  3. if the core is below `minRows`, ONE batch expansion round pulls
+    *     triples from the broader `relevant` set that share an endpoint
+    *     with the core, in md5 order, filling back up to maxRows.
+    * The reference's sequential list order is replaced by the
+    * deterministic md5 row order; its row-by-row endpoint accumulation
+    * by the single batch round (documented deviation — order-free and
+    * engine-portable).
+    *
+    * `filtered` ⊆ `relevant`, both (subject, predicate, object) distinct.
+    * Output adds fill_source ('core' | 'expanded').
+    */
+  def priorityFill(
+      filtered: DataFrame,
+      relevant: DataFrame,
+      targets: Seq[String],
+      maxRows: Int,
+      minRows: Int,
+      maxObjectsPerSubject: Int): DataFrame = {
+    val ord = md5(concat_ws("|", col("subject"), col("predicate"), col("object")))
+    def isT(c: Column) = c.isin(targets: _*)
+    val capped = filtered
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("subject").orderBy(ord)))
+      .filter(!isT(col("subject")) || col("__rn") <= maxObjectsPerSubject)
+      .drop("__rn")
+    val core = capped
+      .withColumn("__prio", when(isT(col("subject")) && isT(col("object")), 1).otherwise(2))
+      .withColumn("__grn", row_number().over(Window.orderBy(col("__prio"), ord)))
+      .filter(col("__grn") <= maxRows)
+      .select(col("subject"), col("predicate"), col("object"),
+        lit("core").as("fill_source"))
+    val coreCnt = core.agg(count(lit(1)).as("__ccnt"))
+    val coreNodes = core.select(col("subject").as("__n"))
+      .unionAll(core.select(col("object").as("__n"))).distinct()
+    val cand0 = relevant.join(core.select("subject", "predicate", "object"),
+      Seq("subject", "predicate", "object"), "left_anti")
+    val touching = cand0
+      .join(coreNodes.withColumnRenamed("__n", "subject"), Seq("subject"), "left_semi")
+      .select("subject", "predicate", "object")
+      .unionAll(cand0
+        .join(coreNodes.withColumnRenamed("__n", "object"), Seq("object"), "left_semi")
+        .select("subject", "predicate", "object"))
+      .distinct()
+    val expanded = touching
+      .withColumn("__ern", row_number().over(Window.orderBy(ord)))
+      .crossJoin(coreCnt)
+      .filter(col("__ccnt") < minRows && col("__ern") <= lit(maxRows) - col("__ccnt"))
+      .select(col("subject"), col("predicate"), col("object"),
+        lit("expanded").as("fill_source"))
+    core.unionAll(expanded)
   }
 
   /** Random fill: every blanked predicate gets a hash-chosen predicate

@@ -45,6 +45,55 @@ object Sampling {
       .drop("__rn")
   }
 
+  /** Deterministic 50+50 ranking-corruption protocol (reference
+    * /root/reference/src/gnn/lcilp/test_ranking.py:119-181 +
+    * compute_rank_metrics.py:8-51): per test edge, two blocks of
+    * `blockSize` candidates — the true triple plus blockSize-1
+    * corruptions of the tail ('head' block: head fixed) resp. of the
+    * head ('tail' block) — with self-loops, existing edges and the true
+    * entity rejected. The reference's np.random.choice +
+    * loop-until-count becomes take-first-(blockSize-1) of the md5-ordered
+    * candidate stream (retry-stable, engine-portable), and the model
+    * score becomes the md5 score surrogate: rank = 1 + #negatives
+    * hashing below the true edge.
+    *
+    * Returns one row per (test edge, side): (s, p, o, side, rnk,
+    * block_size).
+    */
+  def rankingBlocks(edges: DataFrame, nTest: Int, blockSize: Int = 50): DataFrame = {
+    val t = edges.select("subject", "predicate", "object").distinct()
+    val test = t
+      .orderBy(md5(concat_ws("|",
+        col("subject"), col("predicate"), col("object"), lit("test57"))))
+      .limit(nTest)
+      .select(col("subject").as("s"), col("predicate").as("p"), col("object").as("o"))
+    val entities = t.select(col("subject").as("e"))
+      .unionAll(t.select(col("object").as("e"))).distinct()
+    val cand = test.crossJoin(entities)
+      .filter(col("e") =!= col("s") && col("e") =!= col("o"))
+    val corrupts = cand
+      .select(col("s"), col("p"), col("o"), lit("head").as("side"),
+        col("s").as("cs"), col("e").as("co"))
+      .unionAll(cand.select(col("s"), col("p"), col("o"), lit("tail").as("side"),
+        col("e").as("cs"), col("o").as("co")))
+      .join(t.select(col("subject").as("cs"), col("predicate").as("p"),
+        col("object").as("co")), Seq("cs", "p", "co"), "left_anti")
+    val picked = corrupts
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("s", "p", "o", "side").orderBy(
+          md5(concat_ws("|", col("cs"), col("co"), col("side"), lit("cand57"))))))
+      .filter(col("__rn") <= blockSize - 1)
+    def scoreKey(a: Column, b: Column, c: Column): Column =
+      md5(concat_ws("|", a, b, c, lit("sc57")))
+    picked
+      .groupBy(col("s"), col("p"), col("o"), col("side"))
+      .agg(
+        (sum(when(scoreKey(col("cs"), col("p"), col("co"))
+          < scoreKey(col("s"), col("p"), col("o")), 1).otherwise(0)) + 1)
+          .cast("long").as("rnk"),
+        (count(lit(1)) + 1).cast("long").as("block_size"))
+  }
+
   /** Negative sampling by corruption (reference graph_sampler.py:33-87):
     * per positive edge, corrupt head or tail with a hash-chosen entity,
     * reject self-loops and existing edges, regenerate the deficit until

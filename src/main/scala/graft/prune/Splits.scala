@@ -28,6 +28,51 @@ object Splits {
         .when(hashPrefix(seed) < "d8", "valid")
         .otherwise("test"))
 
+  /** New-entity triage (reference
+    * /root/reference/src/gnn/lcilp/utils/clean_data.py:25-42): valid and
+    * test triples whose subject/object entity or relation is unseen in
+    * train are MOVED into train, not dropped — a model can't rank
+    * entities it has no embedding for, but the triple is still true.
+    *
+    * The reference loops sequentially, extending the train vocabulary
+    * row by row; the distributed analogue is two order-free batch
+    * passes with the same net guarantee (no unseen entity/relation
+    * remains in valid or test): valid is checked against the original
+    * train vocabulary, test against train extended by the moved valid
+    * rows. Vocabulary sides are distinct-entity tables — broadcast-sized
+    * relative to triples — joined via left_semi (no row widening).
+    *
+    * Input: (subject, predicate, object, split); output: same rows with
+    * `split` rewritten.
+    */
+  def triageNewEntities(withSplit: DataFrame): DataFrame = {
+    def ents(df: DataFrame): DataFrame =
+      df.select(col("subject").as("e"))
+        .unionAll(df.select(col("object").as("e"))).distinct()
+    def rels(df: DataFrame): DataFrame =
+      df.select(col("predicate").as("r")).distinct()
+    // covered = both endpoints AND the relation are in the vocabulary
+    def split2(df: DataFrame, e: DataFrame, r: DataFrame): (DataFrame, DataFrame) = {
+      val marked = df
+        .join(e.select(col("e").as("subject")).withColumn("__se", lit(1)), Seq("subject"), "left")
+        .join(e.select(col("e").as("object")).withColumn("__oe", lit(1)), Seq("object"), "left")
+        .join(r.select(col("r").as("predicate")).withColumn("__pr", lit(1)), Seq("predicate"), "left")
+      val ok = col("__se").isNotNull && col("__oe").isNotNull && col("__pr").isNotNull
+      (marked.filter(ok).select(df.columns.map(col): _*),
+        marked.filter(!ok).select(df.columns.map(col): _*))
+    }
+    val train = withSplit.filter(col("split") === "train")
+    val valid = withSplit.filter(col("split") === "valid")
+    val test = withSplit.filter(col("split") === "test")
+    val (keptValid, movedValid) = split2(valid, ents(train), rels(train))
+    val train2 = train.unionAll(movedValid.withColumn("split", lit("train")))
+    val (keptTest, movedTest) = split2(test, ents(train2), rels(train2))
+    train2
+      .unionAll(movedTest.withColumn("split", lit("train")))
+      .unionAll(keptValid)
+      .unionAll(keptTest)
+  }
+
   /** Leakage guard: any (s,p,o) overlap between splits fails the job —
     * reference raises ValueError("Data leakage detected!") at
     * extract.py:276.

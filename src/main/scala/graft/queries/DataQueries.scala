@@ -64,6 +64,20 @@ object DataQueries {
              |       CAST(regexp_extract(props, '"k": (\d+)', 1) AS INTEGER) AS k
              |FROM events""".stripMargin)),
 
+    QueryDef("q60_regex_extract_all",
+      // ALL-match regex extraction (reference Edge_Assignor.ipynb cell 18
+      // l.144-158 collects every PMID in a block, not just the first):
+      // every digit run in props, exploded with its match position.
+      (s, d) => table(s, d, "events")
+        .select(col("event_id"),
+          posexplode(regexp_extract_all(col("props"), lit("(\\d+)"), lit(1)))
+            .as(Seq("match_idx", "pmid"))),
+      Some("""SELECT event_id,
+             |  CAST(unnest(range(len(l))) AS INTEGER) AS match_idx,
+             |  l[unnest(range(len(l))) + 1] AS pmid
+             |FROM (SELECT event_id, regexp_extract_all(props, '(\d+)', 1) AS l
+             |      FROM events) x""".stripMargin)),
+
     QueryDef("q32_scrub_filter",
       // affiliation-line scrub: explode + rlike drop (cell 16 l.32-36)
       (s, d) => table(s, d, "documents")

@@ -231,6 +231,69 @@ object KgQueries {
               |  ((rank_sum_pos - (p * (p + 1)) // 2) * 1000000) // (p * n) AS auc_micro
               |FROM agg""".stripMargin)),
 
+    QueryDef("q55_auc_pr",
+      // AUC-PR / average precision (managers/evaluator.py:40-41,
+      // ensembling/compute_auc.py:19-27): cumulative precision over the
+      // score-descending ranking, averaged at the positive ranks. Exact
+      // integers (same discipline as q15): per-positive precision in
+      // micro-units via integral division, AP = their sum DIV p.
+      (s, d) => {
+        val ord = Window.orderBy(col("score").desc, col("event_id"))
+        val t = triples(s, d)
+          .withColumn("pos", (col("value") > 100.0).cast("int"))
+          .withColumn("score", (col("event_id") % 100).cast("double") / 100.0)
+          .withColumn("rnk", row_number().over(ord))
+          .withColumn("cum_pos", sum(col("pos")).over(
+            ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        t.filter(col("pos") === 1)
+          .withColumn("prec_micro", expr("(cum_pos * 1000000) DIV rnk"))
+          .agg(count(lit(1)).cast("long").as("p"),
+            sum(col("prec_micro")).cast("long").as("prec_micro_sum"))
+          .select(col("p"), col("prec_micro_sum"),
+            expr("prec_micro_sum DIV p").as("ap_micro"))
+      },
+      Some(s"""WITH t AS (
+              |  SELECT CASE WHEN value > 100.0 THEN 1 ELSE 0 END AS pos,
+              |         CAST(event_id % 100 AS DOUBLE) / 100.0 AS score, event_id
+              |  FROM ($triplesSql) x),
+              |r AS (SELECT pos,
+              |        row_number() OVER (ORDER BY score DESC, event_id) AS rnk,
+              |        sum(pos) OVER (ORDER BY score DESC, event_id
+              |                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_pos
+              |      FROM t),
+              |pp AS (SELECT (CAST(cum_pos AS BIGINT) * 1000000) // rnk AS prec_micro
+              |       FROM r WHERE pos = 1),
+              |agg AS (SELECT CAST(count(*) AS BIGINT) AS p,
+              |               CAST(sum(prec_micro) AS BIGINT) AS prec_micro_sum
+              |        FROM pp)
+              |SELECT p, prec_micro_sum, prec_micro_sum // p AS ap_micro FROM agg""".stripMargin)),
+
+    QueryDef("q56_score_quantiles",
+      // exact-rank score quantiles 0/25/50/75/100 (score_all_edges.py:
+      // 256-268 prints min/25%/50%/75%/max on every scoring run). Exact
+      // ELEMENT selection — no interpolation, no percentile_approx — so
+      // the values hash identically across engines: index(q) =
+      // (cnt-1)*q DIV 100 + 1 over the (score, edge_id)-sorted ranking.
+      (s, d) => {
+        val se = scored(s, d)
+        val ranked = se.withColumn("rn", row_number().over(
+          Window.orderBy(col("score"), col("edge_id"))))
+        val cnt = se.agg(count(lit(1)).as("cnt"))
+        ranked.crossJoin(cnt)
+          .select(col("score"), col("rn"), col("cnt"),
+            explode(array(Seq(0, 25, 50, 75, 100).map(lit): _*)).as("pct"))
+          .filter(col("rn") === expr("((cnt - 1) * pct) DIV 100 + 1"))
+          .select(col("pct"), col("score"))
+      },
+      Some(s"""WITH se AS ($scoredSql),
+              |ranked AS (SELECT score,
+              |  row_number() OVER (ORDER BY score, edge_id) AS rn FROM se),
+              |c AS (SELECT count(*) AS cnt FROM se),
+              |p AS (SELECT unnest([0, 25, 50, 75, 100]) AS pct)
+              |SELECT CAST(pct AS INTEGER) AS pct, score
+              |FROM ranked, c, p
+              |WHERE rn = ((cnt - 1) * pct) // 100 + 1""".stripMargin)),
+
     // ------------------------------------------------ windows (§2.5)
     QueryDef("q16_uncertainty_topk",
       // review selection (select_edges_for_review.py:26-43)
@@ -325,6 +388,53 @@ object KgQueries {
               |       round(avg(CASE WHEN rnk <= 10 THEN 1.0 ELSE 0.0 END), 6) AS hits10
               |FROM ranked JOIN truth USING (subject, "object")""".stripMargin)),
 
+    QueryDef("q57_ranking_protocol_5050",
+      // 50-corruption-per-side ranking protocol (test_ranking.py:119-181)
+      // feeding MRR / Hits@k (compute_rank_metrics.py:8-51): 100 test
+      // edges, 49 head-fixed + 49 tail-fixed md5-ordered corruptions per
+      // edge, rank of the true edge per block, exact-integer metrics
+      // (mrr_micro = floor-average of floor(1e6/rank)).
+      (s, d) => graft.prune.Sampling.rankingBlocks(triples(s, d), nTest = 100)
+        .agg(
+          count(lit(1)).cast("long").as("n_blocks"),
+          sum(when(col("rnk") <= 1, 1).otherwise(0)).cast("long").as("hits1"),
+          sum(when(col("rnk") <= 5, 1).otherwise(0)).cast("long").as("hits5"),
+          sum(when(col("rnk") <= 10, 1).otherwise(0)).cast("long").as("hits10"),
+          sum(expr("1000000 DIV rnk")).cast("long").as("rr_micro_sum"))
+        .select(col("n_blocks"), col("hits1"), col("hits5"), col("hits10"),
+          col("rr_micro_sum"), expr("rr_micro_sum DIV n_blocks").as("mrr_micro")),
+      Some(s"""WITH t AS (SELECT DISTINCT subject, predicate, "object" FROM ($triplesSql) x),
+              |test AS (SELECT subject AS s, predicate AS p, "object" AS o FROM t
+              |         ORDER BY md5(subject || '|' || predicate || '|' || "object" || '|' || 'test57')
+              |         LIMIT 100),
+              |e AS (SELECT DISTINCT e FROM
+              |      (SELECT subject AS e FROM t UNION ALL SELECT "object" FROM t) u),
+              |cand AS (SELECT s, p, o, e FROM test, e WHERE e <> s AND e <> o),
+              |corr AS (
+              |  SELECT s, p, o, 'head' AS side, s AS cs, e AS co FROM cand
+              |  UNION ALL
+              |  SELECT s, p, o, 'tail' AS side, e AS cs, o AS co FROM cand),
+              |filt AS (SELECT * FROM corr WHERE NOT EXISTS (
+              |  SELECT 1 FROM t WHERE t.subject = corr.cs AND t.predicate = corr.p
+              |    AND t."object" = corr.co)),
+              |picked AS (SELECT * FROM (
+              |  SELECT filt.*, row_number() OVER (PARTITION BY s, p, o, side
+              |    ORDER BY md5(cs || '|' || co || '|' || side || '|' || 'cand57')) AS rn
+              |  FROM filt) z WHERE rn <= 49),
+              |blocks AS (SELECT s, p, o, side,
+              |    CAST(sum(CASE WHEN md5(cs || '|' || p || '|' || co || '|' || 'sc57')
+              |                     < md5(s || '|' || p || '|' || o || '|' || 'sc57')
+              |                  THEN 1 ELSE 0 END) + 1 AS BIGINT) AS rnk
+              |  FROM picked GROUP BY s, p, o, side),
+              |agg AS (SELECT CAST(count(*) AS BIGINT) AS n_blocks,
+              |  CAST(sum(CASE WHEN rnk <= 1 THEN 1 ELSE 0 END) AS BIGINT) AS hits1,
+              |  CAST(sum(CASE WHEN rnk <= 5 THEN 1 ELSE 0 END) AS BIGINT) AS hits5,
+              |  CAST(sum(CASE WHEN rnk <= 10 THEN 1 ELSE 0 END) AS BIGINT) AS hits10,
+              |  CAST(sum(1000000 // rnk) AS BIGINT) AS rr_micro_sum
+              |  FROM blocks)
+              |SELECT n_blocks, hits1, hits5, hits10, rr_micro_sum,
+              |       rr_micro_sum // n_blocks AS mrr_micro FROM agg""".stripMargin)),
+
     // -------------------------------- sorts / limits / set ops (§2.6)
     QueryDef("q22_sort_limit_prefix",
       // reference Cypher read shape: prefix filter + distinct + order +
@@ -362,6 +472,79 @@ object KgQueries {
               |  WHEN substring(md5(subject || '|' || predicate || '|' || "object" || '|' || '42'), 1, 2) < 'd8' THEN 'valid'
               |  ELSE 'test' END AS split FROM t)
               |SELECT split, count(*) AS n FROM a GROUP BY split""".stripMargin)),
+
+    QueryDef("q58_new_entity_triage",
+      // new-entity triage (clean_data.py:25-42): valid/test triples with
+      // an entity/relation unseen in train MOVE to train. Split is
+      // deliberately train-starved (~10/45/45) so unseen vocabulary
+      // actually occurs at every scale factor.
+      (s, d) => {
+        val t = triples(s, d).select("subject", "predicate", "object").distinct()
+        val px = substring(md5(concat_ws("|",
+          col("subject"), col("predicate"), col("object"), lit("42"))), 1, 2)
+        val withSplit = t.withColumn("split",
+          when(px < "1a", "train").when(px < "8d", "valid").otherwise("test"))
+        Splits.triageNewEntities(withSplit)
+      },
+      Some(s"""WITH t AS (SELECT DISTINCT subject, predicate, "object" FROM ($triplesSql) x),
+              |a AS (SELECT subject, predicate, "object",
+              |  CASE WHEN substring(md5(subject || '|' || predicate || '|' || "object" || '|' || '42'), 1, 2) < '1a' THEN 'train'
+              |       WHEN substring(md5(subject || '|' || predicate || '|' || "object" || '|' || '42'), 1, 2) < '8d' THEN 'valid'
+              |       ELSE 'test' END AS split FROM t),
+              |tr AS (SELECT * FROM a WHERE split = 'train'),
+              |v AS (SELECT * FROM a WHERE split = 'valid'),
+              |te AS (SELECT * FROM a WHERE split = 'test'),
+              |e0 AS (SELECT subject AS e FROM tr UNION SELECT "object" FROM tr),
+              |r0 AS (SELECT DISTINCT predicate AS r FROM tr),
+              |vkept AS (SELECT * FROM v
+              |  WHERE subject IN (SELECT e FROM e0) AND "object" IN (SELECT e FROM e0)
+              |    AND predicate IN (SELECT r FROM r0)),
+              |vmoved AS (SELECT * FROM v
+              |  WHERE NOT (subject IN (SELECT e FROM e0) AND "object" IN (SELECT e FROM e0)
+              |             AND predicate IN (SELECT r FROM r0))),
+              |tr2 AS (SELECT subject, predicate, "object" FROM tr
+              |        UNION ALL SELECT subject, predicate, "object" FROM vmoved),
+              |e1 AS (SELECT subject AS e FROM tr2 UNION SELECT "object" FROM tr2),
+              |r1 AS (SELECT DISTINCT predicate AS r FROM tr2),
+              |tkept AS (SELECT * FROM te
+              |  WHERE subject IN (SELECT e FROM e1) AND "object" IN (SELECT e FROM e1)
+              |    AND predicate IN (SELECT r FROM r1)),
+              |tmoved AS (SELECT * FROM te
+              |  WHERE NOT (subject IN (SELECT e FROM e1) AND "object" IN (SELECT e FROM e1)
+              |             AND predicate IN (SELECT r FROM r1)))
+              |SELECT subject, predicate, "object", 'train' AS split FROM tr2
+              |UNION ALL SELECT subject, predicate, "object", 'train' FROM tmoved
+              |UNION ALL SELECT subject, predicate, "object", split FROM vkept
+              |UNION ALL SELECT subject, predicate, "object", split FROM tkept""".stripMargin)),
+
+    QueryDef("q59_priority_fill",
+      // priority-fill to max_rows (extract.py:150-195): per-target-subject
+      // cap 3, target<->target triples first, cap 30 / floor 10. Dataset
+      // is large enough that the cap path is taken (the expansion branch
+      // is covered by RefillSpec on a hand graph).
+      (s, d) => {
+        val t = triples(s, d).select("subject", "predicate", "object").distinct()
+        graft.prune.Refill.priorityFill(t, t,
+          targets = Seq("U:1", "U:2", "U:3", "U:4", "U:5",
+            "E:1", "E:2", "E:3", "E:4", "E:5"),
+          maxRows = 30, minRows = 10, maxObjectsPerSubject = 3)
+      },
+      Some(s"""WITH t AS (SELECT DISTINCT subject, predicate, "object" FROM ($triplesSql) x),
+              |capped AS (
+              |  SELECT subject, predicate, "object" FROM (
+              |    SELECT t.*, row_number() OVER (PARTITION BY subject
+              |      ORDER BY md5(subject || '|' || predicate || '|' || "object")) AS rn
+              |    FROM t) c
+              |  WHERE subject NOT IN ('U:1','U:2','U:3','U:4','U:5','E:1','E:2','E:3','E:4','E:5')
+              |     OR rn <= 3)
+              |SELECT subject, predicate, "object", 'core' AS fill_source FROM (
+              |  SELECT capped.*, row_number() OVER (ORDER BY
+              |    CASE WHEN subject IN ('U:1','U:2','U:3','U:4','U:5','E:1','E:2','E:3','E:4','E:5')
+              |          AND "object" IN ('U:1','U:2','U:3','U:4','U:5','E:1','E:2','E:3','E:4','E:5')
+              |         THEN 1 ELSE 2 END,
+              |    md5(subject || '|' || predicate || '|' || "object")) AS grn
+              |  FROM capped) r
+              |WHERE grn <= 30""".stripMargin)),
 
     // ----------------------------------------------- graph ops (§2.7)
     QueryDef("q25_undirected",
@@ -401,6 +584,97 @@ object KgQueries {
               |  UNION
               |  SELECT r.root, u.b FROM reach r JOIN und u ON r.node = u.a)
               |SELECT node AS id, min(root) AS component FROM reach GROUP BY node""".stripMargin)),
+
+    QueryDef("q61_community_f1",
+      // community F1 (reference multicom.py:251-280: f1 = 2|A∩B| /
+      // (|A|+|B|)): detected community = connected component containing
+      // each region node; ground truth = the region's membership with
+      // every third customer excluded (so F1 < 1 and the metric is
+      // actually exercised). Exact-integer f1_micro.
+      (s, d) => {
+        val cc = ConnectedComponents.run(graphEdges(s, d))
+        val regions = table(s, d, "region").select(
+          concat(lit("R:"), col("r_regionkey").cast("string")).as("rnode"),
+          col("r_regionkey").cast("long").as("region"))
+        val regComp = cc.join(regions, col("id") === col("rnode"))
+          .select(col("region"), col("component"))
+        val det = cc.join(regComp.withColumnRenamed("component", "c2"),
+          col("component") === col("c2"))
+          .select(col("region"), col("id").as("node"))
+        val truth = table(s, d, "customer")
+          .join(table(s, d, "nation"), col("c_nationkey") === col("n_nationkey"))
+          .filter(col("c_custkey") % 3 =!= 0)
+          .select(col("n_regionkey").cast("long").as("region"),
+            concat(lit("C:"), col("c_custkey").cast("string")).as("node"))
+          .unionAll(table(s, d, "nation").select(
+            col("n_regionkey").cast("long").as("region"),
+            concat(lit("N:"), col("n_nationkey").cast("string")).as("node")))
+          .unionAll(table(s, d, "region").select(
+            col("r_regionkey").cast("long").as("region"),
+            concat(lit("R:"), col("r_regionkey").cast("string")).as("node")))
+        val nd = det.groupBy("region").agg(count(lit(1)).cast("long").as("n_detected"))
+        val nt = truth.groupBy("region").agg(count(lit(1)).cast("long").as("n_truth"))
+        val ni = det.join(truth, Seq("region", "node"), "left_semi")
+          .groupBy("region").agg(count(lit(1)).cast("long").as("n_inter"))
+        nd.join(nt, "region").join(ni, "region")
+          .select(col("region"), col("n_detected"), col("n_truth"), col("n_inter"),
+            expr("(2 * n_inter * 1000000) DIV (n_detected + n_truth)").as("f1_micro"))
+      },
+      Some(s"""WITH RECURSIVE e AS ($graphSql),
+              |und AS (SELECT src AS a, dst AS b FROM e UNION SELECT dst, src FROM e),
+              |reach(root, node) AS (
+              |  SELECT a, a FROM und
+              |  UNION
+              |  SELECT r.root, u.b FROM reach r JOIN und u ON r.node = u.a),
+              |cc AS (SELECT node AS id, min(root) AS component FROM reach GROUP BY node),
+              |regnode AS (SELECT 'R:' || CAST(r_regionkey AS VARCHAR) AS rnode,
+              |                   CAST(r_regionkey AS BIGINT) AS region FROM region),
+              |regcomp AS (SELECT region, component FROM cc JOIN regnode ON id = rnode),
+              |det AS (SELECT region, id AS node FROM cc JOIN regcomp USING (component)),
+              |truth AS (
+              |  SELECT CAST(n_regionkey AS BIGINT) AS region,
+              |         'C:' || CAST(c_custkey AS VARCHAR) AS node
+              |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+              |  WHERE c_custkey % 3 <> 0
+              |  UNION ALL SELECT CAST(n_regionkey AS BIGINT),
+              |         'N:' || CAST(n_nationkey AS VARCHAR) FROM nation
+              |  UNION ALL SELECT CAST(r_regionkey AS BIGINT),
+              |         'R:' || CAST(r_regionkey AS VARCHAR) FROM region),
+              |nd AS (SELECT region, CAST(count(*) AS BIGINT) AS n_detected FROM det GROUP BY region),
+              |nt AS (SELECT region, CAST(count(*) AS BIGINT) AS n_truth FROM truth GROUP BY region),
+              |ni AS (SELECT d.region, CAST(count(*) AS BIGINT) AS n_inter
+              |       FROM det d JOIN truth t ON d.region = t.region AND d.node = t.node
+              |       GROUP BY d.region)
+              |SELECT region, n_detected, n_truth, n_inter,
+              |       (2 * n_inter * 1000000) // (n_detected + n_truth) AS f1_micro
+              |FROM nd JOIN nt USING (region) JOIN ni USING (region)""".stripMargin)),
+
+    QueryDef("q62_eccentricity",
+      // eccentricity / diameter / radius per component
+      // (utils/graph_utils.py:163-180) over the nation-region subgraph:
+      // bounded all-pairs BFS, component = min reachable node id.
+      (s, d) => {
+        val e = table(s, d, "nation").select(
+          concat(lit("N:"), col("n_nationkey").cast("string")).as("src"),
+          concat(lit("R:"), col("n_regionkey").cast("string")).as("dst"))
+        graft.graph.Bfs.eccentricityStats(graft.graph.Bfs.undirected(e), 4)
+      },
+      Some("""WITH RECURSIVE e AS (
+             |  SELECT 'N:' || CAST(n_nationkey AS VARCHAR) AS src,
+             |         'R:' || CAST(n_regionkey AS VARCHAR) AS dst FROM nation),
+             |und AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+             |walk(a, node, d) AS (
+             |  SELECT src, src, 0 FROM und
+             |  UNION
+             |  SELECT w.a, u.dst, w.d + 1 FROM walk w JOIN und u ON w.node = u.src
+             |  WHERE w.d < 4),
+             |dist AS (SELECT a, node, min(d) AS dist FROM walk GROUP BY a, node),
+             |ecc AS (SELECT a, max(dist) AS ecc, min(node) AS component
+             |        FROM dist GROUP BY a)
+             |SELECT component, CAST(max(ecc) AS INTEGER) AS diameter,
+             |       CAST(min(ecc) AS INTEGER) AS radius,
+             |       CAST(count(*) AS BIGINT) AS n_nodes
+             |FROM ecc GROUP BY component""".stripMargin)),
 
     QueryDef("q28_induced_subgraph",
       // both-endpoints-in-set induced subgraph (extract.py:133-137)

@@ -61,6 +61,64 @@ class GraphSpec extends AnyFunSuite {
     assert(rec._3(0).toSeq == Seq(0, 1)) // labels follow sorted node order
   }
 
+  test("encloseAndLabel supernode guard: per-level cap bounds the frontier") {
+    // hub node 100 with 80 leaves, plus a candidate touching the hub:
+    // without the cap the frontier is candidates x hub-degree
+    val hubEdges = (1L to 80L).map(i => (100L, 200L + i))
+    val all = Bfs.undirected((rawEdges ++ Seq((3L, 100L)) ++ hubEdges).toDF("src", "dst"))
+    val cands = Seq(("e1", 3L, 100L)).toDF("edge_id", "head", "tail")
+    val capped = Subgraphs.encloseAndLabel(all, cands, 2, Some(5))
+    val rows = capped.collect()
+    // roots + at most 5 nodes per level per side can intersect
+    assert(rows.length <= 2 + 2 * 5)
+    // deterministic under re-run
+    val again = Subgraphs.encloseAndLabel(all, cands, 2, Some(5)).collect()
+    assert(rows.map(_.toString).sorted.toSeq == again.map(_.toString).sorted.toSeq)
+    // roots always present with fixed labels
+    val byNode = rows.map(r => r.getLong(1) -> ((r.getInt(2), r.getInt(3)))).toMap
+    assert(byNode(3L) == ((0, 1)) && byNode(100L) == ((1, 0)))
+  }
+
+  test("community pruning (multicom wiring): appendage node pruned, diamond kept") {
+    // candidate (11,12) inside the diamond; node 3 is in the plain
+    // h=2 enclosing intersection (labels (2,2) via 10) but is OUTSIDE the
+    // PPR+sweep community of the diamond — the reference's always-on
+    // multicom filter (graph_sampler.py:319-325) must drop it
+    val cands = Seq(("e1", 11L, 12L)).toDF("edge_id", "head", "tail")
+    val plain = Subgraphs.encloseAndLabel(edges, cands, 2)
+      .as[(String, Long, Int, Int)].collect().map(r => r._2 -> ((r._3, r._4))).toMap
+    assert(plain.contains(3L), "precondition: plain enclosing keeps the appendage")
+    val pruned = Subgraphs.encloseAndLabelCommunity(edges, cands, 2)
+      .as[(String, Long, Int, Int)].collect().map(r => r._2 -> ((r._3, r._4))).toMap
+    assert(pruned(11L) == ((0, 1)) && pruned(12L) == ((1, 0)))
+    assert(!pruned.contains(3L), "community filter must prune the appendage")
+    // the full-degree sweep keeps the whole diamond
+    assert(pruned(10L) == ((1, 1)) && pruned(13L) == ((1, 1)))
+    // all labels within h
+    assert(pruned.values.forall { case (a, b) => math.max(a, b) <= 2 })
+  }
+
+  test("community pruning: bridged triangles — community is exactly the seed triangle") {
+    val tri = Seq((21L, 22L), (22L, 23L), (21L, 23L),
+      (31L, 32L), (32L, 33L), (31L, 33L), (23L, 31L))
+    val e = Bfs.undirected(tri.toDF("src", "dst"))
+    val cands = Seq(("t", 21L, 22L)).toDF("edge_id", "head", "tail")
+    val got = Subgraphs.encloseAndLabelCommunity(e, cands, 2)
+      .as[(String, Long, Int, Int)].collect().map(_._2).toSet
+    assert(got == Set(21L, 22L, 23L), s"got $got")
+  }
+
+  test("eccentricity stats: per-component diameter/radius on a hand graph") {
+    // component A: star 1-(2,3,4) -> radius 1 (center), diameter 2
+    // component B: path 10-11-12 -> radius 1, diameter 2
+    val e = Bfs.undirected(Seq((1L, 2L), (1L, 3L), (1L, 4L),
+      (10L, 11L), (11L, 12L)).toDF("src", "dst"))
+    val got = Bfs.eccentricityStats(e, 4)
+      .as[(Long, Int, Int, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got == Map(1L -> ((2, 1, 4L)), 10L -> ((2, 1, 3L))))
+  }
+
   test("PPR push: mass concentrates near seeds; sweep cut finds the diamond") {
     val adj: Map[Long, Array[Long]] = rawEdges
       .flatMap { case (a, b) => Seq(a -> b, b -> a) }

@@ -160,6 +160,54 @@ class PruneSpec extends AnyFunSuite {
     assert(again == counts)
   }
 
+  test("new-entity triage: unseen vocabulary moves to train; no unseen entity survives") {
+    // train knows {a,b,p}; valid v1 is covered, v2 brings new entity c;
+    // test t1 is covered only thanks to v2's move (c now in train),
+    // t2 brings new relation q and must move
+    val rows = Seq(
+      ("a", "p", "b", "train"),
+      ("a", "p", "b2", "valid"), // unseen b2 -> moves
+      ("b", "p", "a", "valid"), // covered -> stays
+      ("a", "p", "b2", "test"), // covered AFTER valid move -> stays
+      ("a", "q", "b", "test")) // unseen relation -> moves
+      .toDF("subject", "predicate", "object", "split")
+    val out = Splits.triageNewEntities(rows)
+      .as[(String, String, String, String)].collect().toSet
+    assert(out == Set(
+      ("a", "p", "b", "train"),
+      ("a", "p", "b2", "train"),
+      ("b", "p", "a", "valid"),
+      ("a", "p", "b2", "test"),
+      ("a", "q", "b", "train")))
+    // invariant (clean_data.py net guarantee): every valid/test entity and
+    // relation is in the final train vocabulary
+    val outDf = Splits.triageNewEntities(rows)
+    val train = outDf.filter(col("split") === "train")
+    val trainVocab = train.select(col("subject").as("v"))
+      .unionAll(train.select(col("object").as("v")))
+      .unionAll(train.select(col("predicate").as("v")))
+      .as[String].collect().toSet
+    val evalRows = outDf.filter(col("split") =!= "train")
+      .as[(String, String, String, String)].collect()
+    assert(evalRows.forall(r =>
+      trainVocab(r._1) && trainVocab(r._2) && trainVocab(r._3)))
+  }
+
+  test("ranking protocol 50+50: block shape, rejection rules, determinism") {
+    val edges = (0 until 60).map(i =>
+      (s"s${i % 12}", s"p${i % 3}", s"o${i % 20}")).toDF("subject", "predicate", "object")
+    val blocks = graft.prune.Sampling.rankingBlocks(edges, nTest = 8, blockSize = 10)
+    val rows = blocks.collect()
+    // two sides per test edge
+    assert(rows.length == 16)
+    assert(rows.forall(_.getAs[Long]("block_size") <= 10))
+    assert(rows.forall(r => r.getAs[Long]("rnk") >= 1 &&
+      r.getAs[Long]("rnk") <= r.getAs[Long]("block_size")))
+    // deterministic
+    val again = graft.prune.Sampling.rankingBlocks(edges, nTest = 8, blockSize = 10).collect()
+    assert(rows.map(_.toString).sorted.toSeq == again.map(_.toString).sorted.toSeq)
+  }
+
   test("leakage guard throws on overlapping splits") {
     val bad = Seq(("s", "p", "o", "train"), ("s", "p", "o", "test"))
       .toDF("subject", "predicate", "object", "split")
