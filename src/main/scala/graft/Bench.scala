@@ -25,16 +25,30 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-bench")
-      .config("spark.sql.shuffle.partitions", cpus)
+      // 4 shuffle partitions per core: exactly-#cores shuffles run as ONE
+      // task wave, so one slow task idles every other core (wave
+      // quantization); 4x gives the scheduler slack and AQE coalesces
+      // what's too fine
+      .config("spark.sql.shuffle.partitions", cpus.toInt * 4)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // 16MB scan splits: the 2.3GB xxbench pages parquet yields only ~43
+      // default splits = 1.3 task waves at 32 cores, capping measured
+      // 8->32 scaling at ~2.7x regardless of the engine (measured: 16MB
+      // splits took text-extract from 37s to 26s at 32 cores and moved
+      // per-stage scaling efficiency from ~0.5 to ~0.75)
+      .config("spark.sql.files.maxPartitionBytes", "16m")
       // shuffle spill on fast storage (a real cluster has per-executor
       // NVMe; this box's /tmp disk was the measured bottleneck)
       .config("spark.local.dir",
         sys.env.getOrElse("SPARK_LOCAL_DIRS", "/dev/shm/graft-spark"))
       // the dedup dropped-url set (~100MB at 20M pages) must broadcast:
-      // as an SMJ it forces a sort of every extracted assertion row
+      // measured A/B at 32 cores — broadcast anti-join 141s wall vs
+      // shuffled-hash 196s (the 28M-row assertion shuffle costs more
+      // than the one-time serial broadcast build). Non-broadcast joins
+      // prefer shuffled-hash over sort-merge (no sort of the big side).
+      .config("spark.sql.join.preferSortMergeJoin", "false")
       .config("spark.sql.autoBroadcastJoinThreshold", "256m")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

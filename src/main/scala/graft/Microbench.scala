@@ -34,6 +34,11 @@ object Microbench {
     time("text_extract_only")(
       pages.select(length(TextExtract.extractTextCol(col("html"))).as("l"))
         .agg(sum("l")).collect()(0).getLong(0))
+    if (args.length > 1 && args(1) == "quick") {
+      time("assertions_full")(TripleExtract.assertions(pages).count())
+      spark.stop()
+      return
+    }
     time("sentence_explode_only")(
       pages.filter(col("lang") === "en")
         .select(explode(split(regexp_replace(col("text"), "\\.$", ""), "\\. ")).as("s"))
@@ -61,6 +66,28 @@ object Microbench {
       graft.link.EntityLink.link(
         TripleExtract.assertions(verified), inputs.aliasDict, inputs.entityKeywords)
         .count())
+
+    // dedup banding in isolation (narrow (url, band) rows)
+    time("dedup_minhash_dropped")(
+      graft.dedup.PageDedup.droppedUrls(pages, "minhash").count())
+    time("dedup_exact_dropped")(
+      graft.dedup.PageDedup.droppedUrls(pages, "exact").count())
+
+    // scored stage in isolation: linked assertions pre-materialized to
+    // tmpfs parquet so extraction cost can't leak into the measurement
+    val linkedDir = "/dev/shm/graft-micro-linked"
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$linkedDir/_SUCCESS"))) {
+      graft.link.EntityLink.link(
+        TripleExtract.assertions(pages), inputs.aliasDict, inputs.entityKeywords)
+        .write.mode("overwrite").parquet(linkedDir)
+    }
+    val linked = spark.read.parquet(linkedDir)
+    time("evidence_agg")(
+      graft.prune.AssertionPruning.evidence(linked).count())
+    time("score_full")(
+      graft.prune.AssertionPruning.score(linked, inputs.ontology).count())
+    time("score_full2")(
+      graft.prune.AssertionPruning.score(linked, inputs.ontology).count())
     spark.stop()
   }
 }

@@ -48,15 +48,14 @@ object PageDedup {
   private val shingleN = 3
 
   private def bands(pages: DataFrame): DataFrame = {
-    val toks = split(col("text"), " ")
-    val sig = graft.functions.MinHash.signature(toks, n = shingleN, k = 6)
-    // pages shorter than one shingle have NO shingles: the expression
-    // returns the Long.MaxValue sentinel signature, which would throw
-    // every short page into the same two buckets and silently drop all
-    // but one of them. Short pages can't be near-dup'd by shingles —
-    // they fall back to the exact fingerprint below.
-    pages.filter(size(toks) >= shingleN)
-      .select(col("url"), sig.as("sig"))
+    // signature straight from the text bytes (zero per-token allocation
+    // — the banding pass is allocation-bound at high core counts);
+    // NULL = fewer tokens than one shingle. Short pages can't be
+    // near-dup'd by shingles — they fall back to the exact fingerprint
+    // below (round-2 fix: the old sentinel signature mass-dropped them).
+    val sig = graft.functions.MinHash.signatureFromText(col("text"), n = shingleN, k = 6)
+    pages.select(col("url"), sig.as("sig"))
+      .filter(col("sig").isNotNull)
       .select(col("url"), explode(array(
         xxhash64(element_at(col("sig"), 1), element_at(col("sig"), 2),
           element_at(col("sig"), 3), lit(0)),

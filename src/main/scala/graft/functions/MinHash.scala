@@ -85,6 +85,86 @@ case class MinHashSignature(child: Expression, n: Int, k: Int)
     copy(child = newChild)
 }
 
+/** MinHash signature computed DIRECTLY from the text bytes — tokenizes
+  * on single spaces inside the compiled loop, hashing each token as a
+  * byte slice of the input UTF8String. Unlike `split(text) |>
+  * MinHashSignature`, this allocates no per-token UTF8String objects and
+  * no token array: at 32 cores the banding stage is allocation-bound
+  * (young-gen GC scales with threads, the heap doesn't), so the
+  * zero-allocation form is what keeps the dedup stage scaling.
+  *
+  * Returns NULL when the text has fewer than n tokens (no shingle
+  * exists) — callers route those rows to exact-fingerprint dedup
+  * instead of the sentinel-signature trap fixed in round 2.
+  */
+case class TextMinHash(child: Expression, n: Int, k: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "text_minhash"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"text_minhash expects string, got $other")
+    }
+
+  @inline private def mix64(x0: Long): Long = {
+    var x = x0 + 0x9e3779b97f4a7c15L
+    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+    x ^ (x >>> 31)
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String]
+    val base = s.getBaseObject
+    val offset = s.getBaseOffset
+    val len = s.numBytes()
+    // ring buffer of the last n token hashes — no token array, no
+    // per-token strings; tokens are byte slices delimited by ' ' (0x20),
+    // hashed in place (matches Murmur3 over split(" ") slices exactly)
+    val ring = new Array[Long](n)
+    val mins = Array.fill(k)(Long.MaxValue)
+    var nTok = 0
+    var tokStart = 0
+    var i = 0
+    while (i <= len) {
+      val atEnd = i == len
+      if (atEnd || org.apache.spark.unsafe.Platform.getByte(base, offset + i) == ' '.toByte) {
+        val h32 = Murmur3_x86_32.hashUnsafeBytes(base, offset + tokStart, i - tokStart, 42)
+        ring(nTok % n) = mix64(h32.toLong)
+        nTok += 1
+        if (nTok >= n) {
+          // shingle of the last n tokens, oldest first
+          var sh = 0L
+          var j = 0
+          while (j < n) {
+            sh = mix64(sh ^ ring((nTok - n + j) % n))
+            j += 1
+          }
+          var kk = 0
+          while (kk < k) {
+            val hk = mix64(sh ^ (kk * 0xd6e8feb86659fd93L))
+            if (hk < mins(kk)) mins(kk) = hk
+            kk += 1
+          }
+        }
+        tokStart = i + 1
+      }
+      i += 1
+    }
+    if (nTok < n) null else new GenericArrayData(mins)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TextMinHash =
+    copy(child = newChild)
+}
+
 object MinHash {
   /** Column form: minhash signature (array<long> of k components) of the
     * n-gram shingles of a token array column.
@@ -92,4 +172,11 @@ object MinHash {
   def signature(tokens: Column, n: Int = 3, k: Int = 6): Column =
     org.apache.spark.sql.GraftExpressionBridge.column(
       MinHashSignature(org.apache.spark.sql.GraftExpressionBridge.expression(tokens), n, k))
+
+  /** Column form of [[TextMinHash]]: signature straight from the text,
+    * NULL when fewer than n tokens.
+    */
+  def signatureFromText(text: Column, n: Int = 3, k: Int = 6): Column =
+    org.apache.spark.sql.GraftExpressionBridge.column(
+      TextMinHash(org.apache.spark.sql.GraftExpressionBridge.expression(text), n, k))
 }

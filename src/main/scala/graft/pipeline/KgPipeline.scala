@@ -140,8 +140,16 @@ object KgPipeline {
         .withColumn("text_ok", col("extracted") === col("text"))
         .where(col("text_ok")) // invariant: always true; belt-and-braces
         .drop("extracted", "text_ok")
+      // dedup applied here, on a 64-bit url-hash key: the dropped set is
+      // millions of urls at web scale and feeds a broadcast — hashing
+      // shrinks the collected/broadcast relation from full url strings
+      // to 8-byte longs (serial driver-side build is a core-count-
+      // independent floor). A 64-bit collision mis-drops one page with
+      // p ~ n^2/2^65 — far below the near-dup FP rate of the banding
+      // itself.
       TripleExtract.assertions(verified)
-        .join(droppedUrls, Seq("url"), "left_anti") // dedup applied here
+        .join(droppedUrls.select(xxhash64(col("url")).as("__url_h")),
+          xxhash64(col("url")) === col("__url_h"), "left_anti")
     }
 
     // ---- link: broadcast alias join + context cosine

@@ -69,11 +69,11 @@ object AssertionPruning {
       linked: DataFrame,
       ontology: Dataset[OntologyRule],
       saltBuckets: Int = 8,
-      broadcastDegreeThreshold: Long = 1000000L): DataFrame = {
+      degJoin: String = "auto"): DataFrame = {
 
-    // materialized once: three consumers (cardinality window chain, the
-    // degree table, and the broadcast-threshold count) would otherwise
-    // each recompute the aggregation over the full linked table
+    // materialized once: two consumers (cardinality window chain and the
+    // degree table) would otherwise each recompute the aggregation over
+    // the full linked table
     val ev = evidence(linked).localCheckpoint(true)
 
     // predicate-cardinality window: evidence rows are distinct (s,p,o),
@@ -95,23 +95,29 @@ object AssertionPruning {
           lit(1.0) / col("n_obj").cast("double")).otherwise(lit(1.0)))
       .drop("subj_prefixes", "obj_prefixes", "functional")
 
-    // degree feature join. The degree table has one row per entity: when
-    // it fits a broadcast (the usual case even at large scale — entities
-    // ≪ triples), broadcast-hash-join it and no shuffle happens at all;
-    // beyond the threshold fall back to the explicitly SALTED sort-merge
-    // join so hub entities (~40% of edges) spread over saltBuckets
-    // reducers instead of one.
+    // degree feature join. `degJoin` strategies:
+    //  - "auto" (default): plain equi-join; AQE picks a broadcast-hash
+    //    join from the RUNTIME size of the degree aggregate (entities ≪
+    //    triples, so this is the usual outcome and zero extra shuffle)
+    //    and splits skewed SMJ partitions otherwise. No driver-side
+    //    probe job — round 1 paid an extra count() here per call.
+    //  - "broadcast": force the broadcast (planning-time hint).
+    //  - "salted": the explicitly salted sort-merge join, spreading hub
+    //    entities (~40% of edges) over saltBuckets reducers — the
+    //    north-star discipline when the degree table outgrows broadcast.
     val deg = degreeTable(ev)
       .select(col("entity").as("subject"), col("degree").as("subj_degree"))
-    val degSmall = deg.limit((broadcastDegreeThreshold + 1).toInt).count() <= broadcastDegreeThreshold
-    val withDeg =
-      if (degSmall) typed.join(broadcast(deg), Seq("subject"))
-      else SkewJoin.salted(
+    val withDeg = degJoin match {
+      case "auto" => typed.join(deg, Seq("subject"))
+      case "broadcast" => typed.join(broadcast(deg), Seq("subject"))
+      case "salted" => SkewJoin.salted(
         big = typed,
         small = deg,
         keys = Seq("subject"),
         saltBuckets = saltBuckets,
         bigRowIdentity = Seq(col("subject"), col("predicate"), col("object")))
+      case other => throw new IllegalArgumentException(s"unknown degJoin: $other")
+    }
 
     withDeg
       .withColumn("score",

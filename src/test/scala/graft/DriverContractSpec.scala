@@ -27,7 +27,10 @@ class DriverContractSpec extends AnyFunSuite {
     val mustBeNonEmpty = Seq(
       "q01_scan_project", "q06_antijoin_reconcile", "q10_dict_encode",
       "q16_uncertainty_topk", "q27_connected_components", "q33_prune_threshold",
-      "q40_minhash_lsh", "q42_cosine_topk", "q46_tpch1")
+      "q40_minhash_lsh", "q42_cosine_topk", "q46_tpch1",
+      "q55_auc_pr", "q56_score_quantiles", "q57_ranking_protocol_5050",
+      "q58_new_entity_triage", "q59_priority_fill", "q60_regex_extract_all",
+      "q61_community_f1", "q62_eccentricity", "q48_simhash_neardup")
     mustBeNonEmpty.foreach { name =>
       assert(SparkEntry.queries(name)(spark, sf).count() > 0, name)
     }

@@ -91,11 +91,16 @@ class PruneSpec extends AnyFunSuite {
       ("CHEBI:10002", "biolink:treats", "HP:10004", "u2", 0.7),
       ("HGNC:10001", "biolink:causes", "MONDO:10000", "u3", 0.9))
       .toDF("subject", "predicate", "object", "url", "link_conf")
-    val fast = AssertionPruning.score(linked, ontology)
+    val auto = AssertionPruning.score(linked, ontology)
       .collect().map(_.toString).sorted.toSeq
-    val salted = AssertionPruning.score(linked, ontology, broadcastDegreeThreshold = 0L)
+    val fast = AssertionPruning.score(linked, ontology, degJoin = "broadcast")
+      .collect().map(_.toString).sorted.toSeq
+    val salted = AssertionPruning.score(linked, ontology, degJoin = "salted")
       .collect().map(_.toString).sorted.toSeq
     assert(fast == salted)
+    assert(auto == salted)
+    assertThrows[IllegalArgumentException](
+      AssertionPruning.score(linked, ontology, degJoin = "bogus"))
   }
 
   // ------------------------------------------------- anti-join reconcile

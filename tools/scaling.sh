@@ -3,17 +3,19 @@
 # pipeline benchmark at local[8] and local[32], best-of-N per level to
 # shed host-VM noise, and print the efficiency.
 set -u
-REPS=${REPS:-3}
-SCALE=${SCALE:-xbench}
+REPS=${REPS:-5}
+SCALE=${SCALE:-xxbench}
 cd "$(dirname "$0")/.."
 for c in 8 32; do
   for r in $(seq 1 "$REPS"); do
-    # 12g heap + ParallelGC: a 48g heap grows a huge young gen whose
-    # collections pause for seconds and dominate wall time (measured);
-    # direct java (tools/run_class.sh) avoids the sbt lock + startup
+    # 16g heap, 8g FIXED young gen + ParallelGC: a large young gen's
+    # collections pause for seconds and dominate wall time (measured:
+    # -Xmn18g took text-extract from 26s to 56s); an unpinned young gen
+    # shrinks under promotion pressure and collects too often. Direct
+    # java (tools/run_class.sh) avoids the sbt lock + startup.
     SPARK_GRAFT_SKIP_QUERIES=1 SPARK_GRAFT_KG_SCALE=$SCALE \
       SPARK_GRAFT_CPUS=$c \
-      tools/run_class.sh -mem 12g -opts "-XX:+UseParallelGC" graft.Bench 2>/dev/null |
+      tools/run_class.sh -mem 16g -opts "-XX:+UseParallelGC -Xmn8g" graft.Bench 2>/dev/null |
       grep -E '^\{' \
       > "/tmp/scaling_${c}_${r}.json"
     python3 - "$c" "$r" <<'EOF'
