@@ -65,6 +65,22 @@ class PlanSpec extends AnyFunSuite {
       s"extraction fell out of codegen:\n$plan")
   }
 
+  test("CC distributed path shuffles long-typed keys (dictionary-encoded)") {
+    import spark.implicits._
+    val edges = Seq(("CHEBI:1", "MONDO:2"), ("MONDO:2", "HP:3")).toDF("src", "dst")
+    val (encoded, dict) = graft.canon.ConnectedComponents.encodeEdges(edges)
+    assert(encoded.schema.fields.map(_.dataType.typeName).toSeq == Seq("long", "long"),
+      "star-round shuffle keys must be 8-byte longs, not strings")
+    assert(dict.columns.toSeq == Seq("k", "id"))
+    // order-isomorphism: ids follow lexicographic key order, so min-id
+    // roots decode to min-string roots
+    val d = dict.as[(String, Long)].collect().sortBy(_._2).map(_._1).toSeq
+    assert(d == d.sorted)
+    // banded SimHash (q48) plans with NO cartesian product
+    val q48 = planOf(SparkEntry.queries("q48_simhash_neardup")(spark, sf))
+    assert(!q48.contains("CartesianProduct"), s"q48 must be banded, not all-pairs:\n$q48")
+  }
+
   test("salted join plans as a non-broadcast equi-join on the salted key") {
     import spark.implicits._
     val big = (0 until 1000).map(i => ("k" + i % 3, i)).toDF("k", "v")
