@@ -10,17 +10,53 @@ import org.apache.spark.sql.functions._
   * order (/root/reference/src/gnn/lcilp/utils/data_utils.py:23-45) — a
   * single-process notion. Distributed equivalent must be retry-stable:
   * NEVER monotonically_increasing_id (non-deterministic under task
-  * retry). We use row_number over a global sort of the DISTINCT key set
-  * (small relative to the fact table) — SURVEY.md §4 item 3.
+  * retry). Ranks follow the global order of the key column, computed
+  * WITHOUT a single-partition global sort — SURVEY.md §4 item 3.
   */
 object Ids {
+
+  /** Global dense rank (1..n) by `orderCol` without a one-task global
+    * sort: range-partition on the key, rank locally per partition, then
+    * add broadcast per-partition offset prefix-sums. Range partitions
+    * are ordered by key, so offset + local rank == global rank exactly;
+    * the result is independent of where the (sampled) range boundaries
+    * fall, hence deterministic and retry-stable.
+    *
+    * The partitioned frame is localCheckpoint'ed so the offset-count
+    * pass and the ranking pass see the SAME partitioning (range-sampler
+    * seeds differ across separate executions). The offsets collect is
+    * bounded metadata: one (pid, count) row per shuffle partition.
+    *
+    * `orderCol` values must be distinct (callers rank distinct keys or
+    * unique row keys); ties within a partition would rank
+    * nondeterministically.
+    */
+  def globalRowNumber(df: DataFrame, orderCol: String, rnCol: String = "rn"): DataFrame = {
+    val spark = df.sparkSession
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val ranged = df
+      .repartitionByRange(parts, col(orderCol))
+      .sortWithinPartitions(col(orderCol))
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true)
+    val counts = ranged.groupBy(col("__pid")).agg(count(lit(1)).as("__n"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offsets = counts.map { case (pid, n) => val o = (pid, acc); acc += n; o }.toSeq
+    import spark.implicits._
+    val offDf = offsets.toDF("__pid", "__off")
+    ranged.join(broadcast(offDf), Seq("__pid"))
+      .withColumn(rnCol,
+        row_number().over(Window.partitionBy(col("__pid")).orderBy(col(orderCol)))
+          .cast("long") + col("__off"))
+      .drop("__pid", "__off")
+  }
 
   /** (key -> dense long id) dictionary, deterministic: ids follow the
     * lexicographic order of the distinct keys.
     */
   def dictionary(df: DataFrame, keyCol: String, idCol: String = "id"): DataFrame =
-    df.select(col(keyCol)).distinct()
-      .withColumn(idCol, row_number().over(Window.orderBy(col(keyCol))).cast("long"))
+    globalRowNumber(df.select(col(keyCol)).distinct(), keyCol, idCol)
 
   /** Pure 64-bit mix (splitmix64 finalizer). Stable across JVMs/retries;
     * used anywhere the reference used a sequential RNG (SURVEY.md §7.4:

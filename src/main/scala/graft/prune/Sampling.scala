@@ -51,16 +51,28 @@ object Sampling {
     * `blockSize` candidates — the true triple plus blockSize-1
     * corruptions of the tail ('head' block: head fixed) resp. of the
     * head ('tail' block) — with self-loops, existing edges and the true
-    * entity rejected. The reference's np.random.choice +
-    * loop-until-count becomes take-first-(blockSize-1) of the md5-ordered
-    * candidate stream (retry-stable, engine-portable), and the model
-    * score becomes the md5 score surrogate: rank = 1 + #negatives
-    * hashing below the true edge.
+    * entity rejected, and the model score replaced by the md5 score
+    * surrogate: rank = 1 + #negatives hashing below the true edge.
+    *
+    * Candidate generation is hash-indexed picks against the dense
+    * entity dictionary — the same discipline as [[negativeSample]] —
+    * NOT a test x entities cross join: `attemptFactor * (blockSize-1)`
+    * attempts per block each hash-address one dictionary entry, rejects
+    * are dropped, and the first blockSize-1 distinct survivors in
+    * attempt order are kept. Total work is O(nTest * blockSize), never
+    * a full-entity pass per block. The index hash is the md5-hex-prefix
+    * integer (portable: DuckDB CAST('0x'||hex AS BIGINT) == Spark conv)
+    * so the DuckDB oracle reproduces every pick.
+    *
+    * A block whose attempts are ALL rejected still ranks its true edge
+    * (the reference scores it alone in the block): the final left join
+    * emits rnk=1, block_size=1 for it, so n_blocks == 2 * nTest always.
     *
     * Returns one row per (test edge, side): (s, p, o, side, rnk,
     * block_size).
     */
-  def rankingBlocks(edges: DataFrame, nTest: Int, blockSize: Int = 50): DataFrame = {
+  def rankingBlocks(edges: DataFrame, nTest: Int, blockSize: Int = 50,
+      attemptFactor: Int = 4): DataFrame = {
     val t = edges.select("subject", "predicate", "object").distinct()
     val test = t
       .orderBy(md5(concat_ws("|",
@@ -69,29 +81,48 @@ object Sampling {
       .select(col("subject").as("s"), col("predicate").as("p"), col("object").as("o"))
     val entities = t.select(col("subject").as("e"))
       .unionAll(t.select(col("object").as("e"))).distinct()
-    val cand = test.crossJoin(entities)
+    val dict = graft.core.Ids.dictionary(entities, "e", "__idx")
+    val nEnt = entities.agg(count(lit(1)).as("__n_ent"))
+    val sides = test.select(col("s"), col("p"), col("o"),
+      explode(array(lit("head"), lit("tail"))).as("side"))
+    val nAtt = attemptFactor * (blockSize - 1)
+    val att = sides
+      .select(col("s"), col("p"), col("o"), col("side"),
+        explode(sequence(lit(0), lit(nAtt - 1))).as("__a"))
+      .crossJoin(nEnt) // 1-row count
+      .withColumn("__idx", expr(
+        """CAST(conv(substring(
+          |  md5(concat_ws('|', s, p, o, side, __a, 'idx57')), 1, 12),
+          |  16, 10) AS BIGINT) % __n_ent + 1""".stripMargin))
+    val cand = att.join(dict, Seq("__idx"))
       .filter(col("e") =!= col("s") && col("e") =!= col("o"))
-    val corrupts = cand
-      .select(col("s"), col("p"), col("o"), lit("head").as("side"),
-        col("s").as("cs"), col("e").as("co"))
-      .unionAll(cand.select(col("s"), col("p"), col("o"), lit("tail").as("side"),
-        col("e").as("cs"), col("o").as("co")))
-      .join(t.select(col("subject").as("cs"), col("predicate").as("p"),
-        col("object").as("co")), Seq("cs", "p", "co"), "left_anti")
-    val picked = corrupts
-      .withColumn("__rn", row_number().over(
-        Window.partitionBy("s", "p", "o", "side").orderBy(
-          md5(concat_ws("|", col("cs"), col("co"), col("side"), lit("cand57"))))))
+      .withColumn("cs", when(col("side") === "head", col("s")).otherwise(col("e")))
+      .withColumn("co", when(col("side") === "head", col("e")).otherwise(col("o")))
+    val filt = cand.join(
+      t.select(col("subject").as("cs"), col("predicate").as("p"),
+        col("object").as("co")),
+      Seq("cs", "p", "co"), "left_anti")
+    // one pick per distinct entity per block (earliest attempt wins),
+    // then the first blockSize-1 picks in attempt order
+    val ded = filt.withColumn("__rd", row_number().over(
+        Window.partitionBy("s", "p", "o", "side", "e").orderBy(col("__a"))))
+      .filter(col("__rd") === 1)
+    val picked = ded.withColumn("__rn", row_number().over(
+        Window.partitionBy("s", "p", "o", "side").orderBy(col("__a"))))
       .filter(col("__rn") <= blockSize - 1)
     def scoreKey(a: Column, b: Column, c: Column): Column =
       md5(concat_ws("|", a, b, c, lit("sc57")))
-    picked
+    val blocks = picked
       .groupBy(col("s"), col("p"), col("o"), col("side"))
       .agg(
         (sum(when(scoreKey(col("cs"), col("p"), col("co"))
           < scoreKey(col("s"), col("p"), col("o")), 1).otherwise(0)) + 1)
           .cast("long").as("rnk"),
         (count(lit(1)) + 1).cast("long").as("block_size"))
+    sides.join(blocks, Seq("s", "p", "o", "side"), "left")
+      .select(col("s"), col("p"), col("o"), col("side"),
+        coalesce(col("rnk"), lit(1L)).as("rnk"),
+        coalesce(col("block_size"), lit(1L)).as("block_size"))
   }
 
   /** Negative sampling by corruption (reference graph_sampler.py:33-87):

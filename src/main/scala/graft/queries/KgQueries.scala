@@ -391,9 +391,11 @@ object KgQueries {
     QueryDef("q57_ranking_protocol_5050",
       // 50-corruption-per-side ranking protocol (test_ranking.py:119-181)
       // feeding MRR / Hits@k (compute_rank_metrics.py:8-51): 100 test
-      // edges, 49 head-fixed + 49 tail-fixed md5-ordered corruptions per
-      // edge, rank of the true edge per block, exact-integer metrics
-      // (mrr_micro = floor-average of floor(1e6/rank)).
+      // edges, 49 hash-indexed dictionary picks per side (attempt order,
+      // rejects dropped — the negativeSample discipline, never a full-
+      // entity pass), rank of the true edge per block, exact-integer
+      // metrics (mrr_micro = floor-average of floor(1e6/rank)). Blocks
+      // with every attempt rejected rank the true edge alone (rnk=1).
       (s, d) => graft.prune.Sampling.rankingBlocks(triples(s, d), nTest = 100)
         .agg(
           count(lit(1)).cast("long").as("n_blocks"),
@@ -409,29 +411,42 @@ object KgQueries {
               |         LIMIT 100),
               |e AS (SELECT DISTINCT e FROM
               |      (SELECT subject AS e FROM t UNION ALL SELECT "object" FROM t) u),
-              |cand AS (SELECT s, p, o, e FROM test, e WHERE e <> s AND e <> o),
-              |corr AS (
-              |  SELECT s, p, o, 'head' AS side, s AS cs, e AS co FROM cand
-              |  UNION ALL
-              |  SELECT s, p, o, 'tail' AS side, e AS cs, o AS co FROM cand),
-              |filt AS (SELECT * FROM corr WHERE NOT EXISTS (
-              |  SELECT 1 FROM t WHERE t.subject = corr.cs AND t.predicate = corr.p
-              |    AND t."object" = corr.co)),
+              |dict AS (SELECT e, row_number() OVER (ORDER BY e) AS idx FROM e),
+              |n AS (SELECT count(*) AS n_ent FROM e),
+              |sides AS (SELECT s, p, o, side FROM test,
+              |          (SELECT unnest(['head', 'tail']) AS side) sd),
+              |att AS (SELECT s, p, o, side, a,
+              |    CAST('0x' || substring(md5(s || '|' || p || '|' || o || '|' || side
+              |      || '|' || CAST(a AS VARCHAR) || '|' || 'idx57'), 1, 12) AS BIGINT)
+              |      % n_ent + 1 AS idx
+              |  FROM sides, (SELECT unnest(range(196)) AS a) aa, n),
+              |cand AS (SELECT att.s, att.p, att.o, att.side, att.a, d.e,
+              |    CASE WHEN att.side = 'head' THEN att.s ELSE d.e END AS cs,
+              |    CASE WHEN att.side = 'head' THEN d.e ELSE att.o END AS co
+              |  FROM att JOIN dict d USING (idx)
+              |  WHERE d.e <> att.s AND d.e <> att.o),
+              |filt AS (SELECT * FROM cand WHERE NOT EXISTS (
+              |  SELECT 1 FROM t WHERE t.subject = cand.cs AND t.predicate = cand.p
+              |    AND t."object" = cand.co)),
+              |ded AS (SELECT * FROM (
+              |  SELECT filt.*, row_number() OVER (PARTITION BY s, p, o, side, e
+              |    ORDER BY a) AS rd FROM filt) z WHERE rd = 1),
               |picked AS (SELECT * FROM (
-              |  SELECT filt.*, row_number() OVER (PARTITION BY s, p, o, side
-              |    ORDER BY md5(cs || '|' || co || '|' || side || '|' || 'cand57')) AS rn
-              |  FROM filt) z WHERE rn <= 49),
+              |  SELECT ded.*, row_number() OVER (PARTITION BY s, p, o, side
+              |    ORDER BY a) AS rn FROM ded) z2 WHERE rn <= 49),
               |blocks AS (SELECT s, p, o, side,
               |    CAST(sum(CASE WHEN md5(cs || '|' || p || '|' || co || '|' || 'sc57')
               |                     < md5(s || '|' || p || '|' || o || '|' || 'sc57')
               |                  THEN 1 ELSE 0 END) + 1 AS BIGINT) AS rnk
               |  FROM picked GROUP BY s, p, o, side),
+              |allb AS (SELECT sides.s, coalesce(b.rnk, 1) AS rnk
+              |  FROM sides LEFT JOIN blocks b USING (s, p, o, side)),
               |agg AS (SELECT CAST(count(*) AS BIGINT) AS n_blocks,
               |  CAST(sum(CASE WHEN rnk <= 1 THEN 1 ELSE 0 END) AS BIGINT) AS hits1,
               |  CAST(sum(CASE WHEN rnk <= 5 THEN 1 ELSE 0 END) AS BIGINT) AS hits5,
               |  CAST(sum(CASE WHEN rnk <= 10 THEN 1 ELSE 0 END) AS BIGINT) AS hits10,
               |  CAST(sum(1000000 // rnk) AS BIGINT) AS rr_micro_sum
-              |  FROM blocks)
+              |  FROM allb)
               |SELECT n_blocks, hits1, hits5, hits10, rr_micro_sum,
               |       rr_micro_sum // n_blocks AS mrr_micro FROM agg""".stripMargin)),
 

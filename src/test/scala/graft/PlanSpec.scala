@@ -81,6 +81,33 @@ class PlanSpec extends AnyFunSuite {
     assert(!q48.contains("CartesianProduct"), s"q48 must be banded, not all-pairs:\n$q48")
   }
 
+  test("Ids.dictionary: distributed ranking, no single-partition global sort") {
+    import spark.implicits._
+    // enough keys that a one-task sort would be a real bottleneck shape
+    val keys = (0 until 5000).map(i => f"K:${(i * 2654435761L) % 1000000}%07d").distinct
+    val dict = graft.core.Ids.dictionary(keys.toDF("k"), "k")
+    val plan = planOf(dict)
+    assert(!plan.contains("SinglePartition"),
+      s"dictionary ranking funnels through one task:\n$plan")
+    // ids are dense 1..n following lexicographic key order (the CC
+    // min-root order-isomorphism depends on this)
+    val got = dict.as[(String, Long)].collect().sortBy(_._2)
+    assert(got.map(_._2).toSeq == (1L to keys.length).toSeq)
+    assert(got.map(_._1).toSeq == keys.sorted.toSeq)
+  }
+
+  test("q57 ranking protocol: hash-indexed picks, no test x entities cross join") {
+    import spark.implicits._
+    val edges = (0 until 500).map(i =>
+      (s"s${i % 40}", s"p${i % 3}", s"o${i % 60}")).toDF("subject", "predicate", "object")
+    val df = graft.prune.Sampling.rankingBlocks(edges, nTest = 8, blockSize = 10)
+    val plan = planOf(df)
+    // the only permitted cross join is the 1-row entity count; the
+    // old full-entity candidate generation planned a CartesianProduct
+    assert(!plan.contains("CartesianProduct"),
+      s"rankingBlocks pairs every test edge with every entity:\n$plan")
+  }
+
   test("salted join plans as a non-broadcast equi-join on the salted key") {
     import spark.implicits._
     val big = (0 until 1000).map(i => ("k" + i % 3, i)).toDF("k", "v")
