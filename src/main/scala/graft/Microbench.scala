@@ -75,7 +75,11 @@ object Microbench {
 
     // scored stage in isolation: linked assertions pre-materialized to
     // tmpfs parquet so extraction cost can't leak into the measurement
-    val linkedDir = "/dev/shm/graft-micro-linked"
+    // cache keyed by the input dir: a _SUCCESS-only check reused stale
+    // linked rows across scale/fixture changes, corrupting measurements
+    val inputKey = java.lang.Long.toHexString(
+      graft.core.Ids.mix64(pagesDir.hashCode.toLong))
+    val linkedDir = s"/dev/shm/graft-micro-linked-$inputKey"
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$linkedDir/_SUCCESS"))) {
       graft.link.EntityLink.link(
         TripleExtract.assertions(pages), inputs.aliasDict, inputs.entityKeywords)

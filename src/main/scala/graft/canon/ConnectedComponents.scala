@@ -75,6 +75,30 @@ object ConnectedComponents {
     (encoded, dict)
   }
 
+  /** Target-component choice (reference
+    * /root/reference/src/knowledge-graph/extract.py:117-131: among the
+    * connected components, keep the one containing the MOST target
+    * subjects). cc(id, component) from [[run]]; targets(one node
+    * column). Ties break to the min component id (deterministic; the
+    * reference's `>` keeps the first-seen max, an iteration-order
+    * notion). Returns the winning component's full (id, component)
+    * membership.
+    *
+    * Scale shape: the count is a per-component aggregate of the
+    * semi-joined target rows (small), the argmax is a limit(1) on that
+    * aggregate, and the membership filter is a broadcast join of the
+    * 1-row winner — no full-graph sort anywhere.
+    */
+  def targetComponent(cc: DataFrame, targets: DataFrame): DataFrame = {
+    val tcol = targets.columns(0)
+    val counts = cc
+      .join(targets.select(col(tcol).as("id")), Seq("id"), "left_semi")
+      .groupBy(col("component")).agg(count(lit(1)).as("__n"))
+    val winner = counts.orderBy(col("__n").desc, col("component")).limit(1)
+      .select(col("component"))
+    cc.join(broadcast(winner), Seq("component")).select(col("id"), col("component"))
+  }
+
   private def checksum(e: DataFrame): (BigDecimal, Long) = {
     // decimal(38,0) sum: ANSI mode (Spark 4 default) would throw on a
     // wrapped long sum of 64-bit hashes

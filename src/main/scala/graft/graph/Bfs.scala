@@ -50,10 +50,20 @@ object Bfs {
     * job). und(src,dst) must be symmetric. Returns (a, node, dist) for
     * every node within maxDepth of a (dist is the exact shortest path:
     * first level reached = minimum, enforced by the visited anti-join).
+    *
+    * This op is inherently O(V*E): every node seeds a BFS. It is a
+    * STATS op for dictionary-sized graphs (the reference runs networkx
+    * eccentricity on subgraphs), NOT a full-graph operator — `maxNodes`
+    * makes misapplication a hard error instead of a runaway job.
     */
-  def allPairsDistances(und: DataFrame, maxDepth: Int): DataFrame = {
-    var dist = und.select(col("src").as("a"))
+  def allPairsDistances(und: DataFrame, maxDepth: Int,
+      maxNodes: Int = 10000): DataFrame = {
+    val nodes = und.select(col("src").as("a"))
       .unionAll(und.select(col("dst").as("a"))).distinct()
+    require(nodes.limit(maxNodes + 1).count() <= maxNodes,
+      s"allPairsDistances seeds a BFS from EVERY node (O(V*E)); refusing a graph " +
+        s"with > $maxNodes nodes — raise maxNodes only for bounded stats subgraphs")
+    var dist = nodes
       .select(col("a"), col("a").as("node"), lit(0).as("dist"))
       .localCheckpoint(true)
     var frontier = dist
@@ -75,6 +85,12 @@ object Bfs {
   /** Per-component eccentricity stats over the bounded all-pairs
     * distances: (component, diameter, radius, n_nodes); component id =
     * min node id reachable (graph_utils.py:163-180).
+    *
+    * CONTRACT: `maxDepth` must be >= the true diameter of every
+    * component. A smaller bound truncates each source's reachable set,
+    * so one component fragments into several rows keyed by
+    * inconsistent min-reachable ids. Use ConnectedComponents.run for
+    * component ids when the diameter is unknown.
     */
   def eccentricityStats(und: DataFrame, maxDepth: Int): DataFrame = {
     val ecc = allPairsDistances(und, maxDepth)

@@ -129,34 +129,74 @@ object Sampling {
     * per positive edge, corrupt head or tail with a hash-chosen entity,
     * reject self-loops and existing edges, regenerate the deficit until
     * `numNeg` negatives per positive exist (loop-until-count).
+    *
+    * `constrainedProb` reproduces the reference's constrained mode
+    * (graph_sampler.py:64-79): with that probability (hash-decided per
+    * attempt) the corruption is drawn from the predicate's OBSERVED
+    * valid-heads resp. valid-tails pool instead of the uniform entity
+    * dictionary. Pools are per-predicate dense rankings of the distinct
+    * (predicate, endpoint) pairs — keyed windows, never global sorts.
     */
   def negativeSample(
       edges: DataFrame, // (subject, predicate, object)
       entities: DataFrame, // (entity_id: string, id: long dense 1..N)
       numNeg: Int,
       seed: Long,
-      maxRounds: Int = 5): DataFrame = {
+      maxRounds: Int = 5,
+      constrainedProb: Double = 0.0): DataFrame = {
+    require(constrainedProb >= 0 && constrainedProb <= 1)
     val nEnt = entities.count()
     val entByIdx = broadcast(entities.select(
       col("id").as("__idx"), col("entity_id").as("__corrupt")))
 
-    def attempt(round: Int, perPos: Int): DataFrame =
-      edges
+    // per-predicate valid-endpoint pools, dense-indexed 1..n(p)
+    def pool(endpoint: String): DataFrame =
+      edges.select(col("predicate").as("__p"), col(endpoint).as("__corrupt"))
+        .distinct()
+        .withColumn("__pidx", row_number().over(
+          Window.partitionBy("__p").orderBy("__corrupt")).cast("long"))
+    def poolSizes(p: DataFrame): DataFrame =
+      p.groupBy(col("__p")).agg(count(lit(1)).as("__pn"))
+    lazy val headPool = pool("subject").localCheckpoint(true)
+    lazy val tailPool = pool("object").localCheckpoint(true)
+
+    def attempt(round: Int, perPos: Int): DataFrame = {
+      val conMicro = math.round(constrainedProb * 1000000).toInt
+      val base = edges
         .select(col("subject").as("src_s"), col("predicate").as("src_p"),
           col("object").as("src_o"),
           explode(sequence(lit(0), lit(perPos - 1))).as("__a"))
         .withColumn("__h", xxhash64(col("src_s"), col("src_p"),
           col("src_o"), col("__a"), lit(seed + round)))
-        .withColumn("__idx", pmod(col("__h"), lit(nEnt)) + 1)
-        .join(entByIdx, "__idx")
         .withColumn("__corruptHead", pmod(col("__h"), lit(2)) === 0)
+        .withColumn("__con",
+          lit(conMicro > 0) &&
+            pmod(xxhash64(col("__h"), lit("con")), lit(1000000L)) < conMicro)
+      def corrupted(rows: DataFrame): DataFrame = rows
         .select(col("src_s"), col("src_p"), col("src_o"),
           when(col("__corruptHead"), col("__corrupt")).otherwise(col("src_s")).as("subject"),
           col("src_p").as("predicate"),
           when(col("__corruptHead"), col("src_o")).otherwise(col("__corrupt")).as("object"))
+      val uniform = corrupted(base.filter(!col("__con"))
+        .withColumn("__idx", pmod(col("__h"), lit(nEnt)) + 1)
+        .join(entByIdx, "__idx"))
+      def fromPool(rows: DataFrame, p: DataFrame): DataFrame = {
+        val withPick = rows
+          .join(broadcast(poolSizes(p)), col("src_p") === col("__p"))
+          .withColumn("__pick", pmod(col("__h"), col("__pn")) + 1)
+          .drop("__pn")
+        val pr = p.select(col("__p"), col("__pidx").as("__pick"), col("__corrupt"))
+        corrupted(withPick.join(pr, Seq("__p", "__pick")))
+      }
+      val con =
+        if (conMicro == 0) uniform.limit(0)
+        else fromPool(base.filter(col("__con") && col("__corruptHead")), headPool)
+          .unionAll(fromPool(base.filter(col("__con") && !col("__corruptHead")), tailPool))
+      uniform.unionAll(con)
         .filter(col("subject") =!= col("object"))
         .join(edges, Seq("subject", "predicate", "object"), "left_anti")
         .distinct()
+    }
 
     var negs = attempt(0, numNeg + 1).localCheckpoint(true)
     var round = 1

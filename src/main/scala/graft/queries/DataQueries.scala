@@ -192,7 +192,7 @@ object DataQueries {
              |FROM documents GROUP BY fp""".stripMargin)),
 
     QueryDef("q40_minhash_lsh",
-      // MinHash+LSH near-dup: 4 seeded string-min hashes, 2 bands,
+      // MinHash+LSH near-dup: 2 seeded string-min hashes, 2 bands of 1,
       // bucket join -> candidate pairs
       (s, d) => {
         val docs = table(s, d, "documents")
@@ -202,21 +202,17 @@ object DataQueries {
           // MinHashSignature expression used by the pipeline
           .withColumn("t", toks).filter(size(col("t")) >= 3)
           .withColumn("sh", shingles(col("t")))
-        // all 4 signature components in ONE pass over the shingle array
-        // (running struct of mins) instead of 4 transform+array_min scans
+        // both signature components in ONE pass over the shingle array
+        // (running struct of mins) instead of 2 transform+array_min scans
         val top = "ffffffffffffffffffffffffffffffff"
-        val sig0 = struct(lit(top).as("s0"), lit(top).as("s1"),
-          lit(top).as("s2"), lit(top).as("s3"))
+        val sig0 = struct(lit(top).as("s0"), lit(top).as("s1"))
         val sigAgg = aggregate(col("sh"), sig0, (acc, sh) => struct(
           least(acc("s0"), md5(concat(lit("0:"), sh))).as("s0"),
-          least(acc("s1"), md5(concat(lit("1:"), sh))).as("s1"),
-          least(acc("s2"), md5(concat(lit("2:"), sh))).as("s2"),
-          least(acc("s3"), md5(concat(lit("3:"), sh))).as("s3")))
+          least(acc("s1"), md5(concat(lit("1:"), sh))).as("s1")))
         val sig = docs.select(col("doc_id"), sigAgg.as("sig"))
-          .select(col("doc_id"), col("sig.s0").as("s0"), col("sig.s1").as("s1"),
-            col("sig.s2").as("s2"), col("sig.s3").as("s3"))
-        val bands = sig.select(col("doc_id"), md5(concat(col("s0"), col("s1"))).as("band"))
-          .unionAll(sig.select(col("doc_id"), md5(concat(col("s2"), col("s3"))).as("band")))
+          .select(col("doc_id"), col("sig.s0").as("s0"), col("sig.s1").as("s1"))
+        val bands = sig.select(col("doc_id"), concat(lit("0:"), col("s0")).as("band"))
+          .unionAll(sig.select(col("doc_id"), concat(lit("1:"), col("s1")).as("band")))
         val b2 = bands.withColumnRenamed("doc_id", "id2")
         bands.join(b2, Seq("band")).filter(col("doc_id") < col("id2"))
           .select(col("doc_id").as("id1"), col("id2")).distinct()
@@ -225,10 +221,9 @@ object DataQueries {
               |             FROM documents WHERE doc_id < 2000),
               |sh AS (SELECT doc_id, $shinglesSqlDuck AS sh FROM docs WHERE len(t) >= 3),
               |sig AS (SELECT doc_id,
-              |  ${minhashSqlDuck(0)} AS s0, ${minhashSqlDuck(1)} AS s1,
-              |  ${minhashSqlDuck(2)} AS s2, ${minhashSqlDuck(3)} AS s3 FROM sh),
-              |bands AS (SELECT doc_id, md5(s0 || s1) AS band FROM sig
-              |          UNION ALL SELECT doc_id, md5(s2 || s3) FROM sig)
+              |  ${minhashSqlDuck(0)} AS s0, ${minhashSqlDuck(1)} AS s1 FROM sh),
+              |bands AS (SELECT doc_id, '0:' || s0 AS band FROM sig
+              |          UNION ALL SELECT doc_id, '1:' || s1 FROM sig)
               |SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
               |FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id""".stripMargin)),
 

@@ -215,7 +215,11 @@ object KgQueries {
           sum(when(col("pos") === 1, col("rnk")).otherwise(0)).cast("long")
             .as("rank_sum_pos"))
           .select(col("p"), col("n"), col("rank_sum_pos"),
-            expr("((rank_sum_pos - (p * (p + 1)) DIV 2) * 1000000) DIV (p * n)")
+            // degenerate inputs (no positives or no negatives) emit NULL
+            // instead of an ANSI DivideByZeroError
+            expr("""CASE WHEN p = 0 OR n = 0 THEN NULL
+                   |ELSE ((rank_sum_pos - (p * (p + 1)) DIV 2) * 1000000) DIV (p * n)
+                   |END""".stripMargin)
               .as("auc_micro"))
       },
       Some(s"""WITH t AS (
@@ -228,7 +232,9 @@ object KgQueries {
               |               CAST(sum(CASE WHEN pos = 1 THEN rnk ELSE 0 END) AS BIGINT) AS rank_sum_pos
               |        FROM r)
               |SELECT p, n, rank_sum_pos,
-              |  ((rank_sum_pos - (p * (p + 1)) // 2) * 1000000) // (p * n) AS auc_micro
+              |  CASE WHEN p = 0 OR n = 0 THEN NULL
+              |  ELSE ((rank_sum_pos - (p * (p + 1)) // 2) * 1000000) // (p * n)
+              |  END AS auc_micro
               |FROM agg""".stripMargin)),
 
     QueryDef("q55_auc_pr",
@@ -250,7 +256,8 @@ object KgQueries {
           .agg(count(lit(1)).cast("long").as("p"),
             sum(col("prec_micro")).cast("long").as("prec_micro_sum"))
           .select(col("p"), col("prec_micro_sum"),
-            expr("prec_micro_sum DIV p").as("ap_micro"))
+            expr("CASE WHEN p = 0 THEN NULL ELSE prec_micro_sum DIV p END")
+              .as("ap_micro"))
       },
       Some(s"""WITH t AS (
               |  SELECT CASE WHEN value > 100.0 THEN 1 ELSE 0 END AS pos,
@@ -266,7 +273,9 @@ object KgQueries {
               |agg AS (SELECT CAST(count(*) AS BIGINT) AS p,
               |               CAST(sum(prec_micro) AS BIGINT) AS prec_micro_sum
               |        FROM pp)
-              |SELECT p, prec_micro_sum, prec_micro_sum // p AS ap_micro FROM agg""".stripMargin)),
+              |SELECT p, prec_micro_sum,
+              |  CASE WHEN p = 0 THEN NULL ELSE prec_micro_sum // p END AS ap_micro
+              |FROM agg""".stripMargin)),
 
     QueryDef("q56_score_quantiles",
       // exact-rank score quantiles 0/25/50/75/100 (score_all_edges.py:
@@ -633,7 +642,9 @@ object KgQueries {
           .groupBy("region").agg(count(lit(1)).cast("long").as("n_inter"))
         nd.join(nt, "region").join(ni, "region")
           .select(col("region"), col("n_detected"), col("n_truth"), col("n_inter"),
-            expr("(2 * n_inter * 1000000) DIV (n_detected + n_truth)").as("f1_micro"))
+            expr("""CASE WHEN n_detected + n_truth = 0 THEN NULL
+                   |ELSE (2 * n_inter * 1000000) DIV (n_detected + n_truth)
+                   |END""".stripMargin).as("f1_micro"))
       },
       Some(s"""WITH RECURSIVE e AS ($graphSql),
               |und AS (SELECT src AS a, dst AS b FROM e UNION SELECT dst, src FROM e),
@@ -661,7 +672,9 @@ object KgQueries {
               |       FROM det d JOIN truth t ON d.region = t.region AND d.node = t.node
               |       GROUP BY d.region)
               |SELECT region, n_detected, n_truth, n_inter,
-              |       (2 * n_inter * 1000000) // (n_detected + n_truth) AS f1_micro
+              |       CASE WHEN n_detected + n_truth = 0 THEN NULL
+              |       ELSE (2 * n_inter * 1000000) // (n_detected + n_truth)
+              |       END AS f1_micro
               |FROM nd JOIN nt USING (region) JOIN ni USING (region)""".stripMargin)),
 
     QueryDef("q62_eccentricity",
@@ -690,6 +703,111 @@ object KgQueries {
              |       CAST(min(ecc) AS INTEGER) AS radius,
              |       CAST(count(*) AS BIGINT) AS n_nodes
              |FROM ecc GROUP BY component""".stripMargin)),
+
+    QueryDef("q65_community_subgraph",
+      // community-pruned enclosing subgraph (graph_sampler.py:319-325 +
+      // multicom.py:52-141) on a bridged-triangle hand graph built from
+      // the nation table: nations 0..5, k DIV 3 cliques {0,1,2} and
+      // {3,4,5}, bridge 2-3; candidate edge (0,1), h=2. The PPR+sweep
+      // community of a bridged-triangle seed pair is exactly the seed
+      // triangle (GraphSpec golden 'bridged triangles'), which the
+      // oracle states analytically (k DIV 3 = 0) and then derives the
+      // double-radius labels relationally (BFS with the other root
+      // removed, within the community-induced subgraph).
+      (s, d) => {
+        val n = table(s, d, "nation").filter(col("n_nationkey") < 6)
+          .select(col("n_nationkey").cast("long").as("k"))
+        val tri = n.select(col("k").as("src"))
+          .join(n.select(col("k").as("dst")),
+            expr("src < dst AND (src DIV 3) = (dst DIV 3)"))
+        val bridge = s.range(1).select(lit(2L).as("src"), lit(3L).as("dst"))
+        val edges = graft.graph.Bfs.undirected(tri.unionAll(bridge))
+        val cands = s.range(1).select(lit("e1").as("edge_id"),
+          lit(0L).as("head"), lit(1L).as("tail"))
+        graft.graph.Subgraphs.encloseAndLabelCommunity(edges, cands, 2)
+      },
+      Some("""WITH RECURSIVE
+             |nodes AS (SELECT CAST(n_nationkey AS BIGINT) AS k FROM nation
+             |          WHERE n_nationkey < 6),
+             |tri AS (SELECT a.k AS src, b.k AS dst FROM nodes a, nodes b
+             |        WHERE a.k < b.k AND a.k // 3 = b.k // 3
+             |        UNION ALL SELECT CAST(2 AS BIGINT), CAST(3 AS BIGINT)),
+             |und AS (SELECT src, dst FROM tri UNION SELECT dst, src FROM tri),
+             |comm AS (SELECT k FROM nodes WHERE k // 3 = 0),
+             |sub AS (SELECT src, dst FROM und
+             |        WHERE src IN (SELECT k FROM comm)
+             |          AND dst IN (SELECT k FROM comm)),
+             |walkh(node, d) AS (
+             |  SELECT CAST(0 AS BIGINT), 0
+             |  UNION
+             |  SELECT u.dst, w.d + 1 FROM walkh w JOIN sub u ON w.node = u.src
+             |  WHERE u.dst <> 1 AND w.d < 2),
+             |dh AS (SELECT node, min(d) AS d_head FROM walkh GROUP BY node),
+             |walkt(node, d) AS (
+             |  SELECT CAST(1 AS BIGINT), 0
+             |  UNION
+             |  SELECT u.dst, w.d + 1 FROM walkt w JOIN sub u ON w.node = u.src
+             |  WHERE u.dst <> 0 AND w.d < 2),
+             |dt AS (SELECT node, min(d) AS d_tail FROM walkt GROUP BY node)
+             |SELECT 'e1' AS edge_id, CAST(0 AS BIGINT) AS node,
+             |       CAST(0 AS INTEGER) AS d_head, CAST(1 AS INTEGER) AS d_tail
+             |UNION ALL
+             |SELECT 'e1', CAST(1 AS BIGINT), CAST(1 AS INTEGER), CAST(0 AS INTEGER)
+             |UNION ALL
+             |SELECT 'e1', c.k, CAST(dh.d_head AS INTEGER), CAST(dt.d_tail AS INTEGER)
+             |FROM comm c JOIN dh ON dh.node = c.k JOIN dt ON dt.node = c.k
+             |WHERE c.k NOT IN (0, 1) AND greatest(dh.d_head, dt.d_tail) <= 2""".stripMargin)),
+
+    QueryDef("q63_target_component",
+      // largest component by target-subject count (extract.py:117-131):
+      // CC -> per-component target count -> argmax (tie: min component)
+      // -> full membership of the winner
+      (s, d) => {
+        val cc = ConnectedComponents.run(graphEdges(s, d))
+        val targets = Seq("C:1", "C:2", "C:3", "C:5", "C:8", "C:13", "C:21", "C:34")
+        ConnectedComponents.targetComponent(cc,
+          cc.filter(col("id").isin(targets: _*)).select("id"))
+      },
+      Some(s"""WITH RECURSIVE e AS ($graphSql),
+              |und AS (SELECT src AS a, dst AS b FROM e UNION SELECT dst, src FROM e),
+              |reach(root, node) AS (
+              |  SELECT a, a FROM und
+              |  UNION
+              |  SELECT r.root, u.b FROM reach r JOIN und u ON r.node = u.a),
+              |cc AS (SELECT node AS id, min(root) AS component FROM reach GROUP BY node),
+              |cnt AS (SELECT component, count(*) AS n FROM cc
+              |        WHERE id IN ('C:1','C:2','C:3','C:5','C:8','C:13','C:21','C:34')
+              |        GROUP BY component),
+              |win AS (SELECT component FROM cnt ORDER BY n DESC, component LIMIT 1)
+              |SELECT id, component FROM cc JOIN win USING (component)""".stripMargin)),
+
+    QueryDef("q64_row_chunk",
+      // seeded contiguous row chunk (Edge_Assignor.ipynb cell 5
+      // l.17-22: random start index + chunk_size contiguous rows):
+      // global row_number over the stable event_id order — computed via
+      // the distributed partition-offset ranking, NOT a one-task window
+      // — then rows (start, start + chunk]. start = md5-hex-prefix
+      // integer of the seed mod (n - chunk + 1), portable to DuckDB.
+      (s, d) => {
+        val chunk = 500
+        val base = table(s, d, "events").select("event_id", "event_type")
+        val ranked = Ids.globalRowNumber(base, "event_id", "rn")
+        val n = base.agg(count(lit(1)).as("__n"))
+        ranked.crossJoin(n) // 1-row count
+          .withColumn("__start", expr(
+            s"""CAST(conv(substring(md5('chunk64|42'), 1, 12), 16, 10) AS BIGINT)
+               | % greatest(__n - $chunk + 1, 1)""".stripMargin))
+          .filter(col("rn") > col("__start") && col("rn") <= col("__start") + chunk)
+          .select(col("rn"), col("event_id"), col("event_type"))
+      },
+      Some("""WITH base AS (SELECT event_id, event_type FROM events),
+             |ranked AS (SELECT event_id, event_type,
+             |  row_number() OVER (ORDER BY event_id) AS rn FROM base),
+             |n AS (SELECT count(*) AS n FROM base),
+             |st AS (SELECT CAST('0x' || substring(md5('chunk64|42'), 1, 12) AS BIGINT)
+             |              % greatest(n - 500 + 1, 1) AS start FROM n)
+             |SELECT rn, event_id, event_type FROM ranked, st
+             |WHERE rn > start AND rn <= start + 500""".stripMargin)),
 
     QueryDef("q28_induced_subgraph",
       // both-endpoints-in-set induced subgraph (extract.py:133-137)

@@ -92,4 +92,34 @@ class SinksSpec extends AnyFunSuite {
     assert(rows.forall(!pos.contains(_)))
     assert(rows.length <= 60 && rows.length >= 40)
   }
+
+  test("constrained negative sampling draws from the predicate's valid pools") {
+    // two predicates over DISJOINT entity alphabets: constrained
+    // corruptions (graph_sampler.py:64-79) can never cross alphabets,
+    // uniform ones (almost surely) do
+    val edges = ((0 until 15).map(i => (s"A:$i", "pa", s"A:${(i + 1) % 15}")) ++
+      (0 until 15).map(i => (s"B:$i", "pb", s"B:${(i + 1) % 15}")))
+      .toDF("subject", "predicate", "object")
+    val entities = ((0 until 15).map(i => s"A:$i") ++ (0 until 15).map(i => s"B:$i"))
+      .zipWithIndex.map { case (e, i) => (e, (i + 1).toLong) }
+      .toDF("entity_id", "id")
+    def alphabet(x: String) = x.take(1)
+    val con = Sampling.negativeSample(edges, entities, 2, 42L, constrainedProb = 1.0)
+      .as[(String, String, String)].collect()
+    assert(con.nonEmpty)
+    assert(con.forall { case (s, p, o) =>
+      val want = if (p == "pa") "A" else "B"
+      alphabet(s) == want && alphabet(o) == want
+    }, "constrained mode corrupted with an out-of-pool entity")
+    val uni = Sampling.negativeSample(edges, entities, 2, 42L, constrainedProb = 0.0)
+      .as[(String, String, String)].collect()
+    assert(uni.exists { case (s, p, o) =>
+      val want = if (p == "pa") "A" else "B"
+      alphabet(s) != want || alphabet(o) != want
+    }, "uniform mode never crossed alphabets — pool constraint not exercised")
+    // determinism
+    val again = Sampling.negativeSample(edges, entities, 2, 42L, constrainedProb = 1.0)
+      .as[(String, String, String)].collect()
+    assert(con.sorted.toSeq == again.sorted.toSeq)
+  }
 }
