@@ -29,7 +29,8 @@ object Bench {
       // task wave, so one slow task idles every other core (wave
       // quantization); 4x gives the scheduler slack and AQE coalesces
       // what's too fine
-      .config("spark.sql.shuffle.partitions", cpus.toInt * 4)
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTS", (cpus.toInt * 4).toString))
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -38,7 +39,8 @@ object Bench {
       // 8->32 scaling at ~2.7x regardless of the engine (measured: 16MB
       // splits took text-extract from 37s to 26s at 32 cores and moved
       // per-stage scaling efficiency from ~0.5 to ~0.75)
-      .config("spark.sql.files.maxPartitionBytes", "16m")
+      .config("spark.sql.files.maxPartitionBytes",
+        sys.env.getOrElse("SPARK_GRAFT_MAX_SPLIT", "16m"))
       // shuffle spill on fast storage (a real cluster has per-executor
       // NVMe; this box's /tmp disk was the measured bottleneck)
       .config("spark.local.dir",
@@ -90,16 +92,42 @@ object Bench {
       gen.entityKeywords.write.mode("overwrite").parquet(s"$inDir/entity_keywords")
       gen.sameAs.write.mode("overwrite").parquet(s"$inDir/same_as")
     }
+    // SPARK_GRAFT_BUCKETS="0-3": restrict to a url-hash bucket range —
+    // the disjoint-input slice for the multi-JVM scale-out experiment
+    // (4 independent 8-core JVMs over quarters vs one 8-core JVM over
+    // the full input isolates shared-JVM/GC effects from shared-DRAM)
+    val bucketRange = sys.env.get("SPARK_GRAFT_BUCKETS").map { r =>
+      val Array(lo, hi) = r.split("-").map(_.toInt); (lo, hi)
+    }
+    val pagesAll = spark.read.parquet(s"$inDir/pages")
+    val pagesSel = bucketRange match {
+      case Some((lo, hi)) => pagesAll.filter(col("bucket").between(lo, hi))
+      case None => pagesAll
+    }
     val inputs = graft.pipeline.KgInputs(
-      pages = spark.read.parquet(s"$inDir/pages").drop("bucket"),
+      pages = pagesSel.drop("bucket"),
       aliasDict = spark.read.parquet(s"$inDir/alias_dict"),
       entityKeywords = spark.read.parquet(s"$inDir/entity_keywords"),
       ontology = gen.ontology,
       sameAs = spark.read.parquet(s"$inDir/same_as"))
+    // scale-aware KG-block configs (runtime-settable): the wave-
+    // quantization tuning (4x-cores shuffle partitions + 16MB scan
+    // splits) wins at bench+ scales where waves dominate, but at the
+    // small fixture the same settings cost ~1.2s of pure task-launch
+    // overhead (measured A/B: scored stage 4.7-5.4s at 32/128m vs
+    // 5.5-6.9s at 128/16m, REPS=3). Operator queries above ran with the
+    // large-scale settings (sf0.1 tables are wave-sensitive).
+    val isBigKg = Set("bench", "xbench", "xxbench")(kgScale)
+    spark.conf.set("spark.sql.shuffle.partitions",
+      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTS",
+        if (isBigKg) (cpus.toInt * 4).toString else cpus))
+    spark.conf.set("spark.sql.files.maxPartitionBytes",
+      sys.env.getOrElse("SPARK_GRAFT_MAX_SPLIT", if (isBigKg) "16m" else "128m"))
     val dedup = sys.env.getOrElse("SPARK_GRAFT_DEDUP", "minhash")
     val nAssertions = TripleExtract.assertions(inputs.pages).count() // untimed warm-up
     val t0 = System.nanoTime()
-    val res = KgPipeline.runWith(spark, inputs, dedup = dedup)
+    val degJoin = sys.env.getOrElse("SPARK_GRAFT_DEGJOIN", "auto")
+    val res = KgPipeline.runWith(spark, inputs, dedup = dedup, degJoin = degJoin)
     val kept = KgPipeline.outputTriples(res).count()
     val kgWall = (System.nanoTime() - t0) / 1e9
     val tps = nAssertions / kgWall

@@ -75,7 +75,8 @@ object KgPipeline {
       threshold: Double = AssertionPruning.defaultThreshold,
       reviewN: Int = 10,
       dedup: String = "exact",
-      inputId: String = ""): PipelineResult = {
+      inputId: String = "",
+      degJoin: String = "auto"): PipelineResult = {
 
     val metrics = scala.collection.mutable.ArrayBuffer[StageMetrics]()
 
@@ -171,7 +172,7 @@ object KgPipeline {
     // ---- prune: assertion pruning (threshold + review queue)
     // (materialized in-memory: prune, review and output all read it)
     val (scored, scoredSnap) = stage("scored", canonTriplesSnap, materialize = true) {
-      AssertionPruning.score(canonical, ontology)
+      AssertionPruning.score(canonical, ontology, degJoin = degJoin)
     }
     // cleaned triples partitioned by predicate: the reference's
     // per-relation CSC adjacency (data_utils.py:81-95) is exactly a

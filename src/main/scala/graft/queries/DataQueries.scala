@@ -196,7 +196,7 @@ object DataQueries {
       // bucket join -> candidate pairs
       (s, d) => {
         val docs = table(s, d, "documents")
-          .filter(col("doc_id") < 2000) // bounded: md5 minhash is the
+          .filter(col("doc_id") < 1500) // bounded: md5 minhash is the
           // ORACLE-portable form (interpreted HOF lambdas — priced per
           // row); the scale path is dedup.PageDedup's native
           // MinHashSignature expression used by the pipeline
@@ -218,7 +218,7 @@ object DataQueries {
           .select(col("doc_id").as("id1"), col("id2")).distinct()
       },
       Some(s"""WITH docs AS (SELECT doc_id, string_split(text, ' ') AS t
-              |             FROM documents WHERE doc_id < 2000),
+              |             FROM documents WHERE doc_id < 1500),
               |sh AS (SELECT doc_id, $shinglesSqlDuck AS sh FROM docs WHERE len(t) >= 3),
               |sig AS (SELECT doc_id,
               |  ${minhashSqlDuck(0)} AS s0, ${minhashSqlDuck(1)} AS s1 FROM sh),
