@@ -94,6 +94,12 @@ class PlanSpec extends AnyFunSuite {
     val got = dict.as[(String, Long)].collect().sortBy(_._2)
     assert(got.map(_._2).toSeq == (1L to keys.length).toSeq)
     assert(got.map(_._1).toSeq == keys.sorted.toSeq)
+    // the CC encode path (which routes every node of an arbitrary graph
+    // through the dictionary) must inherit the distributed ranking
+    val edges = keys.sliding(2).map(p => (p.head, p.last)).toSeq.toDF("src", "dst")
+    val (encoded, _) = graft.canon.ConnectedComponents.encodeEdges(edges)
+    assert(!planOf(encoded).contains("SinglePartition"),
+      "encodeEdges funnels the node set through one task")
   }
 
   test("q57 ranking protocol: hash-indexed picks, no test x entities cross join") {
