@@ -58,6 +58,13 @@ object Bench {
     // ---- operator queries on the driver-provided tables
     // (SPARK_GRAFT_SKIP_QUERIES=1 -> KG-pipeline-only scaling run)
     val skipQueries = sys.env.get("SPARK_GRAFT_SKIP_QUERIES").contains("1")
+    if (!skipQueries) {
+      // untimed warm-up: first-job session/codegen startup (~3-4s) was
+      // landing entirely on whichever query ran first (alphabetically
+      // q01), misattributing harness cost to that operator
+      spark.range(1000).selectExpr("sum(id)").collect()
+      spark.read.parquet(s"$sfDir/region.parquet").count()
+    }
     val results =
       if (skipQueries) Seq.empty[(String, Double)]
       else SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

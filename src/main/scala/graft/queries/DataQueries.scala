@@ -481,6 +481,94 @@ object DataQueries {
              |        i -> (h.v[i+1] + 0.1 - t.v[i+1]) * (h.v[i+1] + 0.1 - t.v[i+1])))), 6) AS transe
              |FROM e h JOIN e t ON t.vec_id = h.vec_id + 1""".stripMargin)),
 
+    QueryDef("q66_distmult_score",
+      // DistMult scoring sum(h * r * t) (reference kge/model.py:175-182)
+      // over consecutive embedding rows as (h, r, t)
+      (s, d) => {
+        val emb = table(s, d, "embeddings").filter(col("vec_id") < 100)
+          .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+        val h = emb.select(col("vec_id").as("hid"), col("v").as("hv"))
+        val r = emb.select(col("vec_id").as("rid"), col("v").as("rv"))
+        val t = emb.select(col("vec_id").as("tid"), col("v").as("tv"))
+        h.join(r, col("rid") === col("hid") + 1)
+          .join(t, col("tid") === col("hid") + 2)
+          .select(col("hid"), col("tid"),
+            round(aggregate(sequence(lit(1), lit(64)), lit(0.0), (acc, i) =>
+              acc + element_at(col("hv"), i) * element_at(col("rv"), i) *
+                element_at(col("tv"), i)), 6).as("distmult"))
+      },
+      Some("""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             |          FROM embeddings WHERE vec_id < 100)
+             |SELECT h.vec_id AS hid, t.vec_id AS tid,
+             |  round(list_sum(list_transform(range(64),
+             |        i -> h.v[i+1] * r.v[i+1] * t.v[i+1])), 6) AS distmult
+             |FROM e h JOIN e r ON r.vec_id = h.vec_id + 1
+             |         JOIN e t ON t.vec_id = h.vec_id + 2""".stripMargin)),
+
+    QueryDef("q67_complex_score",
+      // ComplEx scoring (kge/model.py:184-199): vectors split into
+      // real/imag halves (dim 64 -> 32+32);
+      // score = sum_j (re_h*re_r - im_h*im_r)*re_t + (re_h*im_r + im_h*re_r)*im_t
+      (s, d) => {
+        val emb = table(s, d, "embeddings").filter(col("vec_id") < 100)
+          .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+        val h = emb.select(col("vec_id").as("hid"), col("v").as("hv"))
+        val r = emb.select(col("vec_id").as("rid"), col("v").as("rv"))
+        val t = emb.select(col("vec_id").as("tid"), col("v").as("tv"))
+        def re(v: String, i: org.apache.spark.sql.Column) = element_at(col(v), i)
+        def im(v: String, i: org.apache.spark.sql.Column) = element_at(col(v), i + 32)
+        h.join(r, col("rid") === col("hid") + 1)
+          .join(t, col("tid") === col("hid") + 2)
+          .select(col("hid"), col("tid"),
+            round(aggregate(sequence(lit(1), lit(32)), lit(0.0), (acc, i) =>
+              acc +
+                (re("hv", i) * re("rv", i) - im("hv", i) * im("rv", i)) * re("tv", i) +
+                (re("hv", i) * im("rv", i) + im("hv", i) * re("rv", i)) * im("tv", i)),
+              6).as("complex"))
+      },
+      Some("""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             |          FROM embeddings WHERE vec_id < 100)
+             |SELECT h.vec_id AS hid, t.vec_id AS tid,
+             |  round(list_sum(list_transform(range(32), i ->
+             |    (h.v[i+1] * r.v[i+1] - h.v[i+33] * r.v[i+33]) * t.v[i+1] +
+             |    (h.v[i+1] * r.v[i+33] + h.v[i+33] * r.v[i+1]) * t.v[i+33])), 6) AS complex
+             |FROM e h JOIN e r ON r.vec_id = h.vec_id + 1
+             |         JOIN e t ON t.vec_id = h.vec_id + 2""".stripMargin)),
+
+    QueryDef("q68_rotate_score",
+      // RotatE scoring (kge/model.py:201-232): h rotated by relation
+      // phases (phase_j = r_j * pi, i.e. embedding_range = 1), complex
+      // modulus distance to t, gamma = 12;
+      // score = gamma - sum_j |h_j * e^(i*phase_j) - t_j|
+      (s, d) => {
+        val emb = table(s, d, "embeddings").filter(col("vec_id") < 100)
+          .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+        val h = emb.select(col("vec_id").as("hid"), col("v").as("hv"))
+        val r = emb.select(col("vec_id").as("rid"), col("v").as("rv"))
+        val t = emb.select(col("vec_id").as("tid"), col("v").as("tv"))
+        def re(v: String, i: org.apache.spark.sql.Column) = element_at(col(v), i)
+        def im(v: String, i: org.apache.spark.sql.Column) = element_at(col(v), i + 32)
+        val pi = math.Pi
+        h.join(r, col("rid") === col("hid") + 1)
+          .join(t, col("tid") === col("hid") + 2)
+          .select(col("hid"), col("tid"),
+            round(lit(12.0) - aggregate(sequence(lit(1), lit(32)), lit(0.0), (acc, i) => {
+              val ph = re("rv", i) * pi
+              val reS = re("hv", i) * cos(ph) - im("hv", i) * sin(ph) - re("tv", i)
+              val imS = re("hv", i) * sin(ph) + im("hv", i) * cos(ph) - im("tv", i)
+              acc + sqrt(reS * reS + imS * imS)
+            }), 6).as("rotate"))
+      },
+      Some("""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             |          FROM embeddings WHERE vec_id < 100)
+             |SELECT h.vec_id AS hid, t.vec_id AS tid,
+             |  round(12.0 - list_sum(list_transform(range(32), i ->
+             |    sqrt(pow(h.v[i+1] * cos(r.v[i+1] * pi()) - h.v[i+33] * sin(r.v[i+1] * pi()) - t.v[i+1], 2) +
+             |         pow(h.v[i+1] * sin(r.v[i+1] * pi()) + h.v[i+33] * cos(r.v[i+1] * pi()) - t.v[i+33], 2)))),
+             |    6) AS rotate
+             |FROM e h JOIN e r ON r.vec_id = h.vec_id + 1
+             |         JOIN e t ON t.vec_id = h.vec_id + 2""".stripMargin)),
+
     // ------------------------------------------------- TPC-H-ish
     QueryDef("q46_tpch1",
       (s, d) => table(s, d, "lineitem")
