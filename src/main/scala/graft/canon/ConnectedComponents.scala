@@ -67,7 +67,12 @@ object ConnectedComponents {
     val (c0, c1) = (edges.columns(0), edges.columns(1))
     val nodes = edges.select(col(c0).as("k"))
       .unionAll(edges.select(col(c1).as("k"))).distinct()
-    val dict = graft.core.Ids.dictionary(nodes, "k").localCheckpoint(true)
+    // smallThreshold=0: this path is only reached for graphs past the
+    // driver fast-path threshold, where the node set must never funnel
+    // through a one-task sort regardless of how the adaptive default in
+    // Ids.dictionary would classify it.
+    val dict = graft.core.Ids.dictionary(nodes, "k", smallThreshold = 0)
+      .localCheckpoint(true)
     val encoded = edges
       .join(dict.select(col("k").as(c0), col("id").as("__ea")), Seq(c0))
       .join(dict.select(col("k").as(c1), col("id").as("__eb")), Seq(c1))

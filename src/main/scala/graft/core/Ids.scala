@@ -54,9 +54,25 @@ object Ids {
 
   /** (key -> dense long id) dictionary, deterministic: ids follow the
     * lexicographic order of the distinct keys.
+    *
+    * Adaptive like ConnectedComponents.run: dictionary-sized key sets
+    * (< smallThreshold) rank through one window — the partition-offset
+    * machinery costs ~4 jobs (checkpoint, counts, broadcast, join) that
+    * dwarf a one-task sort of a few thousand keys — while anything
+    * larger takes [[globalRowNumber]] so no full-graph node set ever
+    * funnels through one task. Both paths produce IDENTICAL ids (global
+    * lexicographic rank). Pass smallThreshold=0 to force the
+    * distributed path (tests do).
     */
-  def dictionary(df: DataFrame, keyCol: String, idCol: String = "id"): DataFrame =
-    globalRowNumber(df.select(col(keyCol)).distinct(), keyCol, idCol)
+  def dictionary(df: DataFrame, keyCol: String, idCol: String = "id",
+      smallThreshold: Long = 1 << 16): DataFrame = {
+    val distinct = df.select(col(keyCol)).distinct()
+    if (smallThreshold > 0 &&
+        distinct.limit(smallThreshold.toInt).count() < smallThreshold)
+      distinct.withColumn(idCol,
+        row_number().over(Window.orderBy(col(keyCol))).cast("long"))
+    else globalRowNumber(distinct, keyCol, idCol)
+  }
 
   /** Pure 64-bit mix (splitmix64 finalizer). Stable across JVMs/retries;
     * used anywhere the reference used a sequential RNG (SURVEY.md §7.4:

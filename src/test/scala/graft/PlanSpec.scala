@@ -85,7 +85,9 @@ class PlanSpec extends AnyFunSuite {
     import spark.implicits._
     // enough keys that a one-task sort would be a real bottleneck shape
     val keys = (0 until 5000).map(i => f"K:${(i * 2654435761L) % 1000000}%07d").distinct
-    val dict = graft.core.Ids.dictionary(keys.toDF("k"), "k")
+    // smallThreshold=0 forces the distributed ranking (the adaptive
+    // default would window-sort a 5000-key set on one task, by design)
+    val dict = graft.core.Ids.dictionary(keys.toDF("k"), "k", smallThreshold = 0)
     val plan = planOf(dict)
     assert(!plan.contains("SinglePartition"),
       s"dictionary ranking funnels through one task:\n$plan")
@@ -94,6 +96,10 @@ class PlanSpec extends AnyFunSuite {
     val got = dict.as[(String, Long)].collect().sortBy(_._2)
     assert(got.map(_._2).toSeq == (1L to keys.length).toSeq)
     assert(got.map(_._1).toSeq == keys.sorted.toSeq)
+    // the adaptive small path must produce IDENTICAL ids
+    val small = graft.core.Ids.dictionary(keys.toDF("k"), "k")
+      .as[(String, Long)].collect().sortBy(_._2)
+    assert(small.toSeq == got.toSeq, "small-path ids diverge from distributed ids")
     // the CC encode path (which routes every node of an arbitrary graph
     // through the dictionary) must inherit the distributed ranking
     val edges = keys.sliding(2).map(p => (p.head, p.last)).toSeq.toDF("src", "dst")
