@@ -42,10 +42,19 @@ object Splits {
     * rows. Vocabulary sides are distinct-entity tables — broadcast-sized
     * relative to triples — joined via left_semi (no row widening).
     *
+    * Multiply-consumed intermediates (the input fan-out, each pass's
+    * marked frame, the extended train2) are localCheckpoint'ed: without
+    * that, the output union's four branches each re-derive train2, which
+    * re-derives the valid-pass joins, which re-derive the input — the
+    * recompute tree is ~5x the linear work (the same
+    * materialize-the-shared-stage discipline as the pipeline's evidence
+    * table; BENCH/BASELINE.md round-1 finding 1).
+    *
     * Input: (subject, predicate, object, split); output: same rows with
     * `split` rewritten.
     */
   def triageNewEntities(withSplit: DataFrame): DataFrame = {
+    val in = withSplit.localCheckpoint(true)
     def ents(df: DataFrame): DataFrame =
       df.select(col("subject").as("e"))
         .unionAll(df.select(col("object").as("e"))).distinct()
@@ -57,15 +66,17 @@ object Splits {
         .join(e.select(col("e").as("subject")).withColumn("__se", lit(1)), Seq("subject"), "left")
         .join(e.select(col("e").as("object")).withColumn("__oe", lit(1)), Seq("object"), "left")
         .join(r.select(col("r").as("predicate")).withColumn("__pr", lit(1)), Seq("predicate"), "left")
+        .localCheckpoint(true)
       val ok = col("__se").isNotNull && col("__oe").isNotNull && col("__pr").isNotNull
       (marked.filter(ok).select(df.columns.map(col): _*),
         marked.filter(!ok).select(df.columns.map(col): _*))
     }
-    val train = withSplit.filter(col("split") === "train")
-    val valid = withSplit.filter(col("split") === "valid")
-    val test = withSplit.filter(col("split") === "test")
+    val train = in.filter(col("split") === "train")
+    val valid = in.filter(col("split") === "valid")
+    val test = in.filter(col("split") === "test")
     val (keptValid, movedValid) = split2(valid, ents(train), rels(train))
     val train2 = train.unionAll(movedValid.withColumn("split", lit("train")))
+      .localCheckpoint(true)
     val (keptTest, movedTest) = split2(test, ents(train2), rels(train2))
     train2
       .unionAll(movedTest.withColumn("split", lit("train")))

@@ -195,22 +195,19 @@ object DataQueries {
       // MinHash+LSH near-dup: 2 seeded string-min hashes, 2 bands of 1,
       // bucket join -> candidate pairs
       (s, d) => {
-        val docs = table(s, d, "documents")
-          .filter(col("doc_id") < 1500) // bounded: md5 minhash is the
-          // ORACLE-portable form (interpreted HOF lambdas — priced per
-          // row); the scale path is dedup.PageDedup's native
-          // MinHashSignature expression used by the pipeline
-          .withColumn("t", toks).filter(size(col("t")) >= 3)
-          .withColumn("sh", shingles(col("t")))
-        // both signature components in ONE pass over the shingle array
-        // (running struct of mins) instead of 2 transform+array_min scans
-        val top = "ffffffffffffffffffffffffffffffff"
-        val sig0 = struct(lit(top).as("s0"), lit(top).as("s1"))
-        val sigAgg = aggregate(col("sh"), sig0, (acc, sh) => struct(
-          least(acc("s0"), md5(concat(lit("0:"), sh))).as("s0"),
-          least(acc("s1"), md5(concat(lit("1:"), sh))).as("s1")))
-        val sig = docs.select(col("doc_id"), sigAgg.as("sig"))
-          .select(col("doc_id"), col("sig.s0").as("s0"), col("sig.s1").as("s1"))
+        // Native Md5MinHash expression: min-md5-hex over 3-shingles in
+        // one compiled loop per row — bit-identical to the oracle's
+        // list_min(list_transform(...)) SQL, but with no interpreted
+        // shingle lambdas, no exploded shingle rows, and a fully narrow
+        // plan until banding (unbounded over the whole table since
+        // round 3). NULL = fewer than 3 tokens (== the oracle's
+        // len(t) >= 3 filter).
+        val sig = table(s, d, "documents")
+          .select(col("doc_id"),
+            graft.functions.Md5MinHash.of(col("text"), n = 3, k = 2).as("sg"))
+          .filter(col("sg").isNotNull)
+          .select(col("doc_id"), element_at(col("sg"), 1).as("s0"),
+            element_at(col("sg"), 2).as("s1"))
         val bands = sig.select(col("doc_id"), concat(lit("0:"), col("s0")).as("band"))
           .unionAll(sig.select(col("doc_id"), concat(lit("1:"), col("s1")).as("band")))
         val b2 = bands.withColumnRenamed("doc_id", "id2")
@@ -218,7 +215,7 @@ object DataQueries {
           .select(col("doc_id").as("id1"), col("id2")).distinct()
       },
       Some(s"""WITH docs AS (SELECT doc_id, string_split(text, ' ') AS t
-              |             FROM documents WHERE doc_id < 1500),
+              |             FROM documents),
               |sh AS (SELECT doc_id, $shinglesSqlDuck AS sh FROM docs WHERE len(t) >= 3),
               |sig AS (SELECT doc_id,
               |  ${minhashSqlDuck(0)} AS s0, ${minhashSqlDuck(1)} AS s1 FROM sh),

@@ -77,4 +77,39 @@ class OpsSpec extends AnyFunSuite {
     assert(frames.count() == 20)
     assert(frames.groupBy("media_id").count().select(max("count")).as[Long].head() == 4)
   }
+
+  test("Md5MinHash == built-in split/shingle/md5/min form, incl. edge tokenization") {
+    // adversarial tokenization: empty tokens (double/leading/trailing
+    // spaces), unicode, exactly-3 tokens, under-3 tokens (NULL)
+    val texts = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "a  b c"), // empty token between a and b
+      (3L, " leading space tokens here"),
+      (4L, "trailing space tokens here "),
+      (5L, "exactly three tokens"),
+      (6L, "two tokens"),
+      (7L, "naïve café déjà vu ünïcôdé"),
+      (8L, ""),
+      (9L, "x " * 50 + "y"))
+      .toDF("id", "text")
+    val native = texts.select(col("id"),
+      graft.functions.Md5MinHash.of(col("text"), n = 3, k = 2).as("sg"))
+    // reference form: interpreted HOF shingles + exploded md5 mins
+    val t = split(col("text"), " ")
+    val sh = transform(sequence(lit(0), size(t) - 3), i =>
+      concat_ws(" ", element_at(t, i + 1), element_at(t, i + 2), element_at(t, i + 3)))
+    val ref = texts.withColumn("t", t).filter(size(col("t")) >= 3)
+      .select(col("id"), explode(sh).as("g"))
+      .groupBy("id")
+      .agg(min(md5(concat(lit("0:"), col("g")))).as("s0"),
+        min(md5(concat(lit("1:"), col("g")))).as("s1"))
+    val nat = native.filter(col("sg").isNotNull)
+      .select(col("id"), element_at(col("sg"), 1).as("s0"), element_at(col("sg"), 2).as("s1"))
+      .as[(Long, String, String)].collect().sortBy(_._1)
+    val exp = ref.as[(Long, String, String)].collect().sortBy(_._1)
+    assert(nat.toSeq == exp.toSeq)
+    // NULL exactly where fewer than 3 tokens
+    val nulls = native.filter(col("sg").isNull).select("id").as[Long].collect().toSet
+    assert(nulls == Set(6L, 8L), s"unexpected null set $nulls")
+  }
 }
