@@ -146,3 +146,77 @@ object Md5MinHash {
     org.apache.spark.sql.GraftExpressionBridge.column(
       Md5MinHash(org.apache.spark.sql.GraftExpressionBridge.expression(text), n, k))
 }
+
+/** Engine-portable 32-bit SimHash straight from text: bit b of token t
+  * = (hex char b of md5(t)) >= '8' (i.e. nibble b's top bit), fingerprint
+  * bit = strict-majority vote over all token occurrences — bit-identical
+  * to [[SimHash.fingerprintsPortable]]'s relational form and its DuckDB
+  * oracle, in one compiled loop per row: one MD5 per token, votes from
+  * digest nibbles, no exploded token rows and no 32-vote aggregation
+  * shuffle. Tokenization matches `split(text, ' ')` (empty tokens kept,
+  * each occurrence votes). Every text has >= 1 token (split never
+  * returns an empty array), so the result is never null.
+  */
+case class Md5SimHash(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "md5_simhash"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"md5_simhash expects string, got $other")
+    }
+
+  @transient private lazy val mdLocal: ThreadLocal[MessageDigest] =
+    new ThreadLocal[MessageDigest] {
+      override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    val md = mdLocal.get()
+    val votes = new Array[Int](32)
+    var tokStart = 0
+    var i = 0
+    while (i <= bytes.length) {
+      if (i == bytes.length || bytes(i) == ' '.toByte) {
+        md.reset()
+        md.update(bytes, tokStart, i - tokStart)
+        val d = md.digest()
+        var b = 0
+        while (b < 32) {
+          // hex char b = nibble b of the digest (high nibble first);
+          // char >= '8' <=> nibble >= 8 <=> nibble's top bit set
+          val nib =
+            if ((b & 1) == 0) (d(b >> 1) >> 4) & 0xf else d(b >> 1) & 0xf
+          votes(b) += (if (nib >= 8) 1 else -1)
+          b += 1
+        }
+        tokStart = i + 1
+      }
+      i += 1
+    }
+    var sh = 0L
+    var b = 0
+    while (b < 32) {
+      if (votes(b) > 0) sh |= 1L << b
+      b += 1
+    }
+    sh
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Md5SimHash =
+    copy(child = newChild)
+}
+
+object Md5SimHash {
+  /** Column form: portable md5-hex-vote 32-bit simhash of the text. */
+  def of(text: Column): Column =
+    org.apache.spark.sql.GraftExpressionBridge.column(
+      Md5SimHash(org.apache.spark.sql.GraftExpressionBridge.expression(text)))
+}

@@ -259,18 +259,16 @@ object DataQueries {
 
     // -------------------------------------------------- similarity
     QueryDef("q42_cosine_topk",
-      // brute-force cosine top-3 per query vector (HOF dot product)
+      // brute-force cosine top-3 per query vector (native CosineSim —
+      // bit-equal to the HOF dot product, OpsSpec parity test)
       (s, d) => {
         val emb = table(s, d, "embeddings")
           .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
         val q = emb.filter(col("vec_id") < 20)
           .select(col("vec_id").as("qid"), col("v").as("qv"))
-        val dot = aggregate(zip_with(col("qv"), col("v"), (x, y) => x * y),
-          lit(0.0), (acc, x) => acc + x)
-        val nrm = (a: Column) => sqrt(aggregate(transform(a, x => x * x),
-          lit(0.0), (acc, x) => acc + x))
         val scored = q.crossJoin(emb).filter(col("vec_id") =!= col("qid"))
-          .withColumn("cos", round(dot / (nrm(col("qv")) * nrm(col("v"))), 6))
+          .withColumn("cos", round(
+            graft.functions.VectorOps.cosine(col("qv"), col("v")), 6))
         scored.withColumn("rn", row_number().over(
           Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))))
           .filter(col("rn") <= 3)
@@ -296,12 +294,9 @@ object DataQueries {
             transform(col("embedding"), _.cast("double")).as("v"))
         val e2 = emb.select(col("vec_id").as("id2"), col("label").as("label2"),
           col("v").as("v2"))
-        val dot = aggregate(zip_with(col("v"), col("v2"), (x, y) => x * y),
-          lit(0.0), (acc, x) => acc + x)
-        val nrm = (a: Column) => sqrt(aggregate(transform(a, x => x * x),
-          lit(0.0), (acc, x) => acc + x))
         emb.crossJoin(e2).filter(col("vec_id") < col("id2"))
-          .withColumn("cos", round(dot / (nrm(col("v")) * nrm(col("v2"))), 6))
+          .withColumn("cos", round(
+            graft.functions.VectorOps.cosine(col("v"), col("v2")), 6))
           .filter(col("cos") >= 0.35)
           .select(col("vec_id").as("id1"), col("id2"), col("cos"))
       },
@@ -324,8 +319,13 @@ object DataQueries {
       // shipped a crossJoin here; this is the form that survives 100 TB
       // and it gains the full rows+schema+hash oracle.
       (s, d) => {
-        val fp = graft.functions.SimHash.fingerprintsPortable(
-          table(s, d, "documents"), "doc_id", toks)
+        // native Md5SimHash: one compiled loop per doc (one MD5 per
+        // token, votes from digest nibbles) — bit-identical to
+        // SimHash.fingerprintsPortable's relational form (OpsSpec
+        // parity test) and to the oracle SQL, with no exploded token
+        // rows and no 32-vote aggregation shuffle
+        val fp = table(s, d, "documents").select(col("doc_id"),
+          graft.functions.Md5SimHash.of(col("text")).as("sh"))
         graft.functions.SimHash.bandedPairs(fp, maxHamming = 3)
       },
       Some("""WITH tok AS (

@@ -21,37 +21,23 @@ import graft.core.Ids
   */
 object Ann {
 
-  /** Rademacher (+1/-1) hyperplane component, pure in (table, plane, dim). */
-  private def sign(table: Int, plane: Int, d: Int): Double =
-    if ((Ids.mix64(Ids.mix64(table * 131L + plane) ^ d) & 1L) == 0L) 1.0 else -1.0
+  /** Exact cosine via the native [[graft.functions.CosineSim]]
+    * expression — one compiled loop per row with the same operation
+    * order as the HOF form, so values are bit-equal (OpsSpec parity).
+    */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.VectorOps.cosine(a, b)
 
-  /** signed projection of v on (table, plane): sum_d v[d]*sign(t,p,d) */
-  private def proj(v: Column, table: Int, plane: Int, dim: Int): Column = {
-    val signs = array((0 until dim).map(d => lit(sign(table, plane, d))): _*)
-    aggregate(zip_with(v, signs, (x, s) => x * s), lit(0.0), (acc, x) => acc + x)
-  }
-
-  /** bucket id of v in `table`: P projection sign bits packed into a long */
-  def bucket(v: Column, table: Int, planes: Int, dim: Int): Column =
-    (0 until planes).map { p =>
-      when(proj(v, table, p, dim) > 0, lit(1L << p)).otherwise(lit(0L))
-    }.reduce(_ + _)
-
-  def cosine(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-    val n = (v: Column) => sqrt(aggregate(transform(v, x => x * x), lit(0.0), (acc, x) => acc + x))
-    dot / (n(a) * n(b))
-  }
-
-  /** (id, bucketTable, bucket) rows — one per hash table. */
+  /** (id, v, tbl, bucket) rows — one per hash table. All `tables`
+    * bucket ids are computed by one native [[graft.functions.LshBuckets]]
+    * pass per row (the HOF form priced tables x planes x dim interpreted
+    * lambda evals per row), then posexplode'd into per-table rows.
+    */
   def signatures(emb: DataFrame, idCol: String, vCol: String,
-      tables: Int, planes: Int, dim: Int): DataFrame = {
-    val perTable = (0 until tables).map { t =>
-      emb.select(col(idCol), col(vCol),
-        lit(t).as("tbl"), bucket(col(vCol), t, planes, dim).as("bucket"))
-    }
-    perTable.reduce(_ unionAll _)
-  }
+      tables: Int, planes: Int, dim: Int): DataFrame =
+    emb.select(col(idCol), col(vCol),
+      posexplode(graft.functions.VectorOps.lshBuckets(col(vCol), tables, planes)))
+      .select(col(idCol), col(vCol), col("pos").as("tbl"), col("col").as("bucket"))
 
   /** LSH-bucketed top-k: queries x corpus restricted to shared buckets,
     * exact cosine rerank, deterministic tiebreak.

@@ -112,4 +112,60 @@ class OpsSpec extends AnyFunSuite {
     val nulls = native.filter(col("sg").isNull).select("id").as[Long].collect().toSet
     assert(nulls == Set(6L, 8L), s"unexpected null set $nulls")
   }
+
+  test("Md5SimHash == relational fingerprintsPortable") {
+    val texts = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "a  b c"),
+      (3L, " leading and trailing "),
+      (4L, "single"),
+      (5L, ""),
+      (6L, "naïve café déjà vu ünïcôdé"),
+      (7L, ("tok " * 200).trim))
+      .toDF("doc_id", "text")
+    val native = texts.select(col("doc_id"),
+      graft.functions.Md5SimHash.of(col("text")).as("sh"))
+      .as[(Long, Long)].collect().sortBy(_._1)
+    val rel = SimHash.fingerprintsPortable(texts, "doc_id", split(col("text"), " "))
+      .as[(Long, Long)].collect().sortBy(_._1)
+    assert(native.toSeq == rel.toSeq)
+  }
+
+  test("CosineSim bit-equal to HOF form; LshBuckets equal to per-plane formula") {
+    import graft.core.Ids
+    val dim = 64
+    val vecs = (1L to 40L).map { i =>
+      (i, (0 until dim).map(d => Ids.unitDouble(Ids.mix64(i, d.toLong)) - 0.5).toArray)
+    }.toDF("id", "v")
+    val v2 = vecs.select(col("id").as("id2"), col("v").as("w"))
+    val pairs = vecs.crossJoin(v2).filter(col("id") < col("id2"))
+    val hofDot = aggregate(zip_with(col("v"), col("w"), (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x)
+    val hofNrm = (a: org.apache.spark.sql.Column) =>
+      sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
+    val both = pairs.select(col("id"), col("id2"),
+      graft.functions.VectorOps.cosine(col("v"), col("w")).as("native"),
+      (hofDot / (hofNrm(col("v")) * hofNrm(col("w")))).as("hof"))
+      .as[(Long, Long, Double, Double)].collect()
+    // identical operation order => bit-equal, not just close
+    assert(both.forall(r => r._3 == r._4),
+      both.filter(r => r._3 != r._4).take(3).mkString(","))
+
+    // LshBuckets == the old per-plane constant-sign-array formula
+    def sign(t: Int, p: Int, d: Int): Double =
+      if ((Ids.mix64(Ids.mix64(t * 131L + p) ^ d) & 1L) == 0L) 1.0 else -1.0
+    val (tables, planes) = (8, 6)
+    val got = vecs.select(col("id"),
+      graft.functions.VectorOps.lshBuckets(col("v"), tables, planes).as("b"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val raw = vecs.as[(Long, Seq[Double])].collect().toMap
+    for ((id, v) <- raw; t <- 0 until tables) {
+      var bucket = 0L
+      for (p <- 0 until planes) {
+        val proj = (0 until dim).map(d => v(d) * sign(t, p, d)).sum
+        if (proj > 0) bucket += 1L << p
+      }
+      assert(got(id)(t) == bucket, s"id=$id t=$t")
+    }
+  }
 }
