@@ -41,6 +41,73 @@ object VectorOps {
     org.apache.spark.sql.GraftExpressionBridge.column(
       LshBuckets(org.apache.spark.sql.GraftExpressionBridge.expression(v),
         tables, planes))
+
+  /** Centroid ids (0-based row indices of `centroids`) ordered by
+    * descending cosine(v, centroid), ties to the smaller cid. The
+    * centroid matrix rides inside the expression node, so nearest-
+    * centroid assignment (element 1) and nprobe selection (slice) are
+    * narrow per-row computations with no join.
+    */
+  def centroidRanks(v: Column, centroids: Array[Array[Double]]): Column =
+    org.apache.spark.sql.GraftExpressionBridge.column(
+      CentroidRanks(org.apache.spark.sql.GraftExpressionBridge.expression(v),
+        centroids))
+}
+
+/** See [[VectorOps.centroidRanks]]. The cosine uses the same operation
+  * order as [[CosineSim]]. Centroid norms are precomputed once per
+  * (deserialized) expression instance.
+  */
+case class CentroidRanks(child: Expression, centroids: Array[Array[Double]])
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "centroid_ranks"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"centroid_ranks expects array<double>, got $other")
+    }
+
+  @transient private lazy val cNorms: Array[Double] =
+    centroids.map { cv =>
+      var s = 0.0; var i = 0
+      while (i < cv.length) { s += cv(i) * cv(i); i += 1 }
+      math.sqrt(s)
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val dim = v.numElements()
+    val va = new Array[Double](dim)
+    var i = 0
+    while (i < dim) { va(i) = v.getDouble(i); i += 1 }
+    var vn = 0.0
+    i = 0
+    while (i < dim) { vn += va(i) * va(i); i += 1 }
+    vn = math.sqrt(vn)
+    val cos = new Array[Double](centroids.length)
+    var c = 0
+    while (c < centroids.length) {
+      val cv = centroids(c)
+      val n = math.min(dim, cv.length)
+      var dot = 0.0
+      i = 0
+      while (i < n) { dot += va(i) * cv(i); i += 1 }
+      cos(c) = dot / (vn * cNorms(c))
+      c += 1
+    }
+    // ranked cids: cos desc, cid asc (stable sortBy on ascending key)
+    val ranked = cos.indices.sortBy(c => (-cos(c), c)).map(Integer.valueOf)
+    new GenericArrayData(ranked.toArray[Any])
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CentroidRanks =
+    copy(child = newChild)
 }
 
 case class CosineSim(left: Expression, right: Expression)

@@ -365,6 +365,21 @@ object DataQueries {
       },
       None),
 
+    QueryDef("q69_ann_ivf_topk",
+      // IVF approximate top-3: deterministic hash-seeded k-means coarse
+      // quantizer, nprobe=4 inverted-list probe, exact cosine rerank —
+      // the second ANN scale path beside q49's LSH. No SQL oracle
+      // (approximate op); AnnSpec checks determinism + recall vs brute.
+      (s, d) => {
+        val emb = table(s, d, "embeddings")
+          .select(col("vec_id").as("id"),
+            transform(col("embedding"), _.cast("double")).as("v"))
+        val queries = emb.filter(col("id") < 20)
+          .select(col("id").as("qid"), col("v").as("qv"))
+        graft.similarity.Ann.ivfTopK(emb, queries, 3)
+      },
+      None),
+
     // ------------------------------------------------ time windows
     QueryDef("q44_tumbling_window",
       // hourly tumbling aggregation (batch form; streaming variant is

@@ -74,4 +74,76 @@ object Ann {
         Window.partitionBy("qid").orderBy(col("cos").desc, col("id"))))
       .filter(col("rn") <= k)
       .select(col("qid"), col("id").as("nn_id"), col("cos"), col("rn"))
+
+  // ------------------------------------------------------------------
+  // IVF: coarse-quantizer inverted file (the second scale path)
+  // ------------------------------------------------------------------
+
+  /** IVF index build: deterministic k-means over cosine similarity.
+    *
+    * Seeding: the C corpus vectors with the smallest xxhash64(id) — a
+    * pure hash choice (no rand(); retry-stable), evaluated as a
+    * TakeOrdered of C rows, never a full sort. Then `iters` Lloyd
+    * rounds, each a single narrow pass over the corpus: the centroid
+    * matrix (C x dim doubles — bounded metadata, like the ranking
+    * offsets collect) is embedded in a native
+    * [[graft.functions.CentroidRanks]] expression, so assignment is a
+    * compiled per-row argmax with NO join and NO shuffle of the corpus;
+    * new centroids are `dim` map-side-combinable avg aggregates keyed
+    * on cid (the same 1-aggregation discipline as the SimHash votes).
+    * Empty clusters keep their previous centroid.
+    *
+    * Returns (centroid matrix indexed by cid, index = (id, v, cid)).
+    */
+  def ivfIndex(emb: DataFrame, c: Int, iters: Int = 2,
+      dim: Int = 64): (Array[Array[Double]], DataFrame) = {
+    var centroids: Array[Array[Double]] = emb
+      .orderBy(Ids.saltCol(Int.MaxValue, col("id")), col("id"))
+      .limit(c)
+      .select(col("v"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    var it = 0
+    while (it < iters) {
+      val cid = element_at(
+        graft.functions.VectorOps.centroidRanks(col("v"), centroids), 1)
+      val means = emb.withColumn("cid", cid)
+        .groupBy(col("cid"))
+        .agg(array((0 until dim).map(d => avg(col("v")(d))): _*).as("cv"))
+        .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).toMap
+      centroids = centroids.indices
+        .map(i => means.getOrElse(i, centroids(i))).toArray
+      it += 1
+    }
+    val cid = element_at(
+      graft.functions.VectorOps.centroidRanks(col("v"), centroids), 1)
+    (centroids, emb.select(col("id"), col("v"), cid.as("cid")))
+  }
+
+  /** IVF top-k: each query probes its `nprobe` max-cosine centroids and
+    * exact-reranks only those inverted lists. The candidate join is a
+    * plain equi-join on cid (AQE splits skewed lists); vs the LSH path,
+    * recall degrades gracefully with nprobe instead of with band
+    * collision luck.
+    */
+  def ivfTopK(
+      emb: DataFrame, // (id, v: array<double>)
+      queries: DataFrame, // (qid, qv: array<double>)
+      k: Int,
+      c: Int = 16,
+      nprobe: Int = 4,
+      iters: Int = 2,
+      dim: Int = 64): DataFrame = {
+    val (centroids, index) = ivfIndex(emb, c, iters, dim)
+    val probes = queries.select(col("qid"), col("qv"),
+      explode(slice(
+        graft.functions.VectorOps.centroidRanks(col("qv"), centroids),
+        1, nprobe)).as("cid"))
+    probes.join(index, Seq("cid"))
+      .filter(col("qid") =!= col("id"))
+      .withColumn("cos", cosine(col("qv"), col("v")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("qid").orderBy(col("cos").desc, col("id"))))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("id").as("nn_id"), col("cos"), col("rn"))
+  }
 }

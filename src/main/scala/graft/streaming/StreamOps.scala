@@ -54,4 +54,36 @@ object StreamOps {
           SessionUpdate(uid, n, v)
       }
   }
+
+  final case class Keyed(fp: Long, url: String)
+
+  /** Streaming exact dedup: keep the FIRST document seen per content
+    * fingerprint, drop every later arrival — the continuous-ingestion
+    * form of PageDedup's batch exact mode (keeper rules differ by
+    * necessity: a stream cannot know the batch min(url), so first-seen
+    * wins; within a batch the smallest url wins for determinism).
+    *
+    * flatMapGroupsWithState keyed on xxhash64(text): state is one
+    * boolean per seen fingerprint, emitted rows are the (fp, url)
+    * keepers. State grows with distinct content — at 100 TB the state
+    * store backs onto RocksDB and the fingerprint key is 8 bytes, the
+    * same hashed-long discipline as the batch dedup broadcast.
+    */
+  def dedupStream(docs: DataFrame): Dataset[Keyed] = {
+    import docs.sparkSession.implicits._
+    docs
+      .select(xxhash64(col("text")).as("fp"), col("url"))
+      .as[Keyed]
+      .groupByKey(_.fp)
+      .flatMapGroupsWithState[Boolean, Keyed](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (fp: Long, rows: Iterator[Keyed], state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            // deterministic within the arriving micro-batch group
+            Iterator.single(rows.minBy(_.url))
+          }
+      }
+  }
 }

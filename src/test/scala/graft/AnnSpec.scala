@@ -42,6 +42,40 @@ class AnnSpec extends AnyFunSuite {
     assert(recall >= 0.1, f"recall collapsed: $recall%.2f")
   }
 
+  test("IVF top-k: deterministic, valid shape, recall beats random") {
+    val a = Ann.ivfTopK(emb, queries, 3).collect()
+    val b = Ann.ivfTopK(emb, queries, 3).collect()
+    assert(a.map(_.toString).sorted.toSeq == b.map(_.toString).sorted.toSeq)
+    val byQ = a.groupBy(_.getAs[Long]("qid"))
+    byQ.values.foreach { rows =>
+      assert(rows.length <= 3)
+      val sorted = rows.sortBy(_.getAs[Int]("rn"))
+      assert(sorted.map(_.getAs[Double]("cos")).toSeq ==
+        sorted.map(_.getAs[Double]("cos")).sortBy(-(_: Double)).toSeq)
+    }
+    val brute = Ann.bruteTopK(emb, queries, 3).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nn_id"))).toSet
+    val ivf = a.map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nn_id"))).toSet
+    val recall = (brute intersect ivf).size.toDouble / brute.size
+    info(f"IVF recall@3 = $recall%.2f (ivf pairs=${ivf.size}, brute=${brute.size})")
+    assert(recall >= 0.1, f"recall collapsed: $recall%.2f")
+  }
+
+  test("IVF index: every vector assigned to its true max-cosine centroid") {
+    val (centroids, index) = Ann.ivfIndex(emb, c = 8, iters = 2)
+    assert(centroids.length == 8)
+    val rows = index.as[(Long, Seq[Double], Int)].collect()
+    assert(rows.length == emb.count())
+    def cos(a: Seq[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    rows.take(200).foreach { case (id, v, cid) =>
+      val best = centroids.indices.minBy(c => (-cos(v, centroids(c)), c))
+      assert(cid == best, s"id=$id assigned $cid, true argmax $best")
+    }
+  }
+
   test("brute-force agrees with the q42 driver query on overlap") {
     val q42 = SparkEntry.queries("q42_cosine_topk")(spark, sf)
       .filter(col("qid") < 10)

@@ -90,4 +90,40 @@ class StreamingSpec extends AnyFunSuite {
       assert(got == want)
     } finally q.stop()
   }
+
+  test("streaming dedup keeps first-seen per fingerprint across micro-batches") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-dedup")
+    // the file source lists leaf files: write each batch elsewhere, then
+    // move its single part file into the watched dir under a stable name
+    def write(name: String, rows: Seq[(String, String)]): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-dedup-batch")
+      rows.toDF("url", "text").coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp)
+        .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+      java.nio.file.Files.move(part, dir.resolve(name))
+    }
+    write("b1.parquet", Seq(
+      ("u1", "alpha beta gamma"),
+      ("u2", "alpha beta gamma"), // in-batch dup of u1
+      ("u3", "delta epsilon")))
+    val schema = Seq(("u", "t")).toDF("url", "text").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir.toString)
+    val q = StreamOps.dedupStream(stream)
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("dedup_out")
+      .start()
+    try {
+      q.processAllAvailable()
+      // cross-batch dup of b1 content + one new text
+      write("b2.parquet", Seq(
+        ("u4", "alpha beta gamma"),
+        ("u5", "zeta eta theta")))
+      q.processAllAvailable()
+      val got = spark.table("dedup_out")
+        .as[StreamOps.Keyed].collect().map(_.url).toSet
+      // u1 beats u2 (min url in batch), u4 dropped (fp seen in batch 1)
+      assert(got == Set("u1", "u3", "u5"), s"got $got")
+    } finally q.stop()
+  }
 }
