@@ -181,6 +181,62 @@ object DataQueries {
              |  md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
              |FROM documents""".stripMargin)),
 
+    QueryDef("q70_pii_redact",
+      // PII redaction (training-data scrub): mask emails and IPv4s,
+      // count redactions. The fixture text carries no PII, so the query
+      // plants a deterministic email + IP per doc IN BOTH ENGINES
+      // (identical concat), then redacts — the operator is exercised
+      // for real and stays hash-checkable. Patterns are written in the
+      // Java-regex/RE2 common subset.
+      (s, d) => {
+        val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+        val ip = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+        table(s, d, "documents")
+          .select(col("doc_id"), concat(col("text"),
+            lit(" contact user"), col("doc_id"), lit("@example.com via 10.0."),
+            pmod(col("doc_id"), lit(256)), lit(".7 thanks")).as("aug"))
+          .select(col("doc_id"),
+            regexp_replace(regexp_replace(col("aug"), email, "<EMAIL>"),
+              ip, "<IP>").as("redacted"),
+            (size(regexp_extract_all(col("aug"), lit(email), lit(0))) +
+              size(regexp_extract_all(col("aug"), lit(ip), lit(0)))).as("n_pii"))
+      },
+      Some("""WITH aug AS (SELECT doc_id,
+             |  text || ' contact user' || doc_id || '@example.com via 10.0.'
+             |       || (doc_id % 256) || '.7 thanks' AS aug FROM documents)
+             |SELECT doc_id,
+             |  regexp_replace(regexp_replace(aug,
+             |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS redacted,
+             |  CAST(len(regexp_extract_all(aug,
+             |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+             |   + len(regexp_extract_all(aug,
+             |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INTEGER) AS n_pii
+             |FROM aug""".stripMargin)),
+
+    QueryDef("q71_repetition_ratio",
+      // intra-document repetition (Gopher-style quality rule): fraction
+      // of duplicate 3-gram occurrences; docs above the threshold are
+      // flagged for removal. array_distinct/list_distinct are native
+      // collection ops in both engines (no interpreted lambdas).
+      (s, d) => table(s, d, "documents")
+        .withColumn("t", toks).filter(size(col("t")) >= 3)
+        .withColumn("sh", shingles(col("t")))
+        .select(col("doc_id"),
+          size(col("sh")).as("n_grams"),
+          size(array_distinct(col("sh"))).as("n_distinct"),
+          round(lit(1.0) - size(array_distinct(col("sh"))).cast("double") /
+            size(col("sh")), 6).as("rep_ratio"))
+        .withColumn("flagged", col("rep_ratio") > 0.05),
+      Some(s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+              |g AS (SELECT doc_id, $shinglesSqlDuck AS sh FROM d WHERE len(t) >= 3)
+              |SELECT doc_id,
+              |  len(sh) AS n_grams,
+              |  len(list_distinct(sh)) AS n_distinct,
+              |  round(1.0 - CAST(len(list_distinct(sh)) AS DOUBLE) / len(sh), 6) AS rep_ratio,
+              |  (round(1.0 - CAST(len(list_distinct(sh)) AS DOUBLE) / len(sh), 6) > 0.05) AS flagged
+              |FROM g""".stripMargin)),
+
     // ------------------------------------------------------- dedup
     QueryDef("q39_dedup_exact",
       // exact dedup: keeper = min doc_id per fingerprint
