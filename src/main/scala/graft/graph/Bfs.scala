@@ -55,14 +55,49 @@ object Bfs {
     * STATS op for dictionary-sized graphs (the reference runs networkx
     * eccentricity on subgraphs), NOT a full-graph operator — `maxNodes`
     * makes misapplication a hard error instead of a runaway job.
+    *
+    * Small inputs (< `driverThreshold` edges) short-circuit to a
+    * driver-side BFS — the same adaptivity as ConnectedComponents.run:
+    * maxDepth distributed rounds of 3 jobs each cost ~15 job launches
+    * for work a collect finishes in microseconds at stats-subgraph
+    * size. BFS distances depend only on id EQUALITY (no ordering), so
+    * the string-cast round trip is type-safe. Pass driverThreshold=0 to
+    * force the distributed rounds (tests do).
     */
   def allPairsDistances(und: DataFrame, maxDepth: Int,
-      maxNodes: Int = 10000): DataFrame = {
+      maxNodes: Int = 10000, driverThreshold: Long = 1 << 16): DataFrame = {
     val nodes = und.select(col("src").as("a"))
       .unionAll(und.select(col("dst").as("a"))).distinct()
     require(nodes.limit(maxNodes + 1).count() <= maxNodes,
       s"allPairsDistances seeds a BFS from EVERY node (O(V*E)); refusing a graph " +
         s"with > $maxNodes nodes — raise maxNodes only for bounded stats subgraphs")
+    if (driverThreshold > 0 &&
+        und.limit(driverThreshold.toInt).count() < driverThreshold) {
+      val spark = und.sparkSession
+      import spark.implicits._
+      val idType = und.schema(und.columns(0)).dataType
+      val edges = und.select(col("src").cast("string"), col("dst").cast("string"))
+        .collect().map(r => (r.getString(0), r.getString(1)))
+      val adj = edges.groupBy(_._1).map { case (s, es) => (s, es.map(_._2)) }
+      val allNodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val out = Seq.newBuilder[(String, String, Int)]
+      allNodes.foreach { a =>
+        val dist = scala.collection.mutable.Map(a -> 0)
+        var frontier = Seq(a)
+        var d = 0
+        while (d < maxDepth && frontier.nonEmpty) {
+          d += 1
+          frontier = frontier
+            .flatMap(n => adj.getOrElse(n, Array.empty[String]))
+            .distinct.filterNot(dist.contains)
+          frontier.foreach(n => dist(n) = d)
+        }
+        dist.foreach { case (n, dd) => out += ((a, n, dd)) }
+      }
+      return spark.createDataset(out.result()).toDF("a", "node", "dist")
+        .select(col("a").cast(idType).as("a"),
+          col("node").cast(idType).as("node"), col("dist"))
+    }
     var dist = nodes
       .select(col("a"), col("a").as("node"), lit(0).as("dist"))
       .localCheckpoint(true)
@@ -92,8 +127,9 @@ object Bfs {
     * inconsistent min-reachable ids. Use ConnectedComponents.run for
     * component ids when the diameter is unknown.
     */
-  def eccentricityStats(und: DataFrame, maxDepth: Int): DataFrame = {
-    val ecc = allPairsDistances(und, maxDepth)
+  def eccentricityStats(und: DataFrame, maxDepth: Int,
+      driverThreshold: Long = 1 << 16): DataFrame = {
+    val ecc = allPairsDistances(und, maxDepth, driverThreshold = driverThreshold)
       .groupBy(col("a"))
       .agg(max(col("dist")).as("ecc"), min(col("node")).as("component"))
     ecc.groupBy(col("component"))

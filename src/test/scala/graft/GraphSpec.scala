@@ -113,10 +113,14 @@ class GraphSpec extends AnyFunSuite {
     // component B: path 10-11-12 -> radius 1, diameter 2
     val e = Bfs.undirected(Seq((1L, 2L), (1L, 3L), (1L, 4L),
       (10L, 11L), (11L, 12L)).toDF("src", "dst"))
-    val got = Bfs.eccentricityStats(e, 4)
-      .as[(Long, Int, Int, Long)].collect()
-      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
-    assert(got == Map(1L -> ((2, 1, 4L)), 10L -> ((2, 1, 3L))))
+    val want = Map(1L -> ((2, 1, 4L)), 10L -> ((2, 1, 3L)))
+    // driver fast path (default) and distributed rounds must agree
+    for (thr <- Seq(1L << 16, 0L)) {
+      val got = Bfs.eccentricityStats(e, 4, driverThreshold = thr)
+        .as[(Long, Int, Int, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      assert(got == want, s"driverThreshold=$thr: $got")
+    }
   }
 
   test("PPR push: mass concentrates near seeds; sweep cut finds the diamond") {
