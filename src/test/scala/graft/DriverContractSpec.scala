@@ -30,7 +30,9 @@ class DriverContractSpec extends AnyFunSuite {
       "q40_minhash_lsh", "q42_cosine_topk", "q46_tpch1",
       "q55_auc_pr", "q56_score_quantiles", "q57_ranking_protocol_5050",
       "q58_new_entity_triage", "q59_priority_fill", "q60_regex_extract_all",
-      "q61_community_f1", "q62_eccentricity", "q48_simhash_neardup")
+      "q61_community_f1", "q62_eccentricity", "q48_simhash_neardup",
+      "q63_target_component", "q64_row_chunk", "q65_community_subgraph",
+      "q69_ann_ivf_topk", "q70_pii_redact", "q71_repetition_ratio")
     mustBeNonEmpty.foreach { name =>
       assert(SparkEntry.queries(name)(spark, sf).count() > 0, name)
     }
