@@ -637,6 +637,34 @@ object DataQueries {
              |FROM e h JOIN e r ON r.vec_id = h.vec_id + 1
              |         JOIN e t ON t.vec_id = h.vec_id + 2""".stripMargin)),
 
+    QueryDef("q72_protate_score",
+      // pRotatE scoring (kge/model.py:231-249): phase-only rotation —
+      // phases phi = v_j * pi (embedding_range = 1, as q68),
+      // modulus = 0.5 * embedding_range = 0.5, gamma = 12;
+      // score = gamma - modulus * sum_j |sin(phi_h + phi_r - phi_t)|
+      (s, d) => {
+        val emb = table(s, d, "embeddings").filter(col("vec_id") < 100)
+          .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+        val h = emb.select(col("vec_id").as("hid"), col("v").as("hv"))
+        val r = emb.select(col("vec_id").as("rid"), col("v").as("rv"))
+        val t = emb.select(col("vec_id").as("tid"), col("v").as("tv"))
+        val pi = math.Pi
+        h.join(r, col("rid") === col("hid") + 1)
+          .join(t, col("tid") === col("hid") + 2)
+          .select(col("hid"), col("tid"),
+            round(lit(12.0) - lit(0.5) *
+              aggregate(sequence(lit(1), lit(64)), lit(0.0), (acc, i) =>
+                acc + abs(sin((element_at(col("hv"), i) + element_at(col("rv"), i) -
+                  element_at(col("tv"), i)) * pi))), 6).as("protate"))
+      },
+      Some("""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             |          FROM embeddings WHERE vec_id < 100)
+             |SELECT h.vec_id AS hid, t.vec_id AS tid,
+             |  round(12.0 - 0.5 * list_sum(list_transform(range(64), i ->
+             |    abs(sin((h.v[i+1] + r.v[i+1] - t.v[i+1]) * pi())))), 6) AS protate
+             |FROM e h JOIN e r ON r.vec_id = h.vec_id + 1
+             |         JOIN e t ON t.vec_id = h.vec_id + 2""".stripMargin)),
+
     // ------------------------------------------------- TPC-H-ish
     QueryDef("q46_tpch1",
       (s, d) => table(s, d, "lineitem")

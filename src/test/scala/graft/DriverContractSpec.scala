@@ -32,7 +32,8 @@ class DriverContractSpec extends AnyFunSuite {
       "q58_new_entity_triage", "q59_priority_fill", "q60_regex_extract_all",
       "q61_community_f1", "q62_eccentricity", "q48_simhash_neardup",
       "q63_target_component", "q64_row_chunk", "q65_community_subgraph",
-      "q69_ann_ivf_topk", "q70_pii_redact", "q71_repetition_ratio")
+      "q69_ann_ivf_topk", "q70_pii_redact", "q71_repetition_ratio",
+      "q72_protate_score")
     mustBeNonEmpty.foreach { name =>
       assert(SparkEntry.queries(name)(spark, sf).count() > 0, name)
     }
