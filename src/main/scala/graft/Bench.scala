@@ -141,8 +141,12 @@ object Bench {
     val stagesJson = res.metrics
       .map(m => s"""{"stage":"${m.stage}","wall_ms":${m.wallMs}}""")
       .mkString("[", ",", "]")
+    // in bucket-slice mode cfg.nPages is the FULL fixture; echo the
+    // range so slice JSONs are not misread as full-input runs
+    val bucketsJson = bucketRange
+      .map { case (lo, hi) => s""""buckets":"$lo-$hi",""" }.getOrElse("")
     val kgJson =
-      s"""{"scale":"$kgScale","pages":${cfg.nPages},"assertions":$nAssertions,""" +
+      s"""{"scale":"$kgScale",$bucketsJson"pages":${cfg.nPages},"assertions":$nAssertions,""" +
         s""""kept_triples":$kept,"wall_sec":$kgWall,"triples_per_sec":$tps,"cpus":$cpus,""" +
         s""""stages":$stagesJson}"""
 

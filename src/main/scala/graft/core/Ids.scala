@@ -67,11 +67,17 @@ object Ids {
   def dictionary(df: DataFrame, keyCol: String, idCol: String = "id",
       smallThreshold: Long = 1 << 16): DataFrame = {
     val distinct = df.select(col(keyCol)).distinct()
-    if (smallThreshold > 0 &&
-        distinct.limit(smallThreshold.toInt).count() < smallThreshold)
-      distinct.withColumn(idCol,
-        row_number().over(Window.orderBy(col(keyCol))).cast("long"))
-    else globalRowNumber(distinct, keyCol, idCol)
+    if (smallThreshold > 0) {
+      // materialize the distinct ONCE before probing: without it the
+      // probe's limit+count runs the full aggregation and the chosen
+      // path re-runs the identical distinct from scratch — doubling the
+      // dominant cost exactly in the large-input case
+      val mat = distinct.localCheckpoint(true)
+      if (mat.limit(smallThreshold.toInt).count() < smallThreshold)
+        mat.withColumn(idCol,
+          row_number().over(Window.orderBy(col(keyCol))).cast("long"))
+      else globalRowNumber(mat, keyCol, idCol)
+    } else globalRowNumber(distinct, keyCol, idCol)
   }
 
   /** Pure 64-bit mix (splitmix64 finalizer). Stable across JVMs/retries;

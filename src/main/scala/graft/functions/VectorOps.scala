@@ -165,21 +165,51 @@ case class LshBuckets(child: Expression, tables: Int, planes: Int)
   @transient private lazy val seeds: Array[Array[Long]] =
     Array.tabulate(tables, planes)((t, p) => Ids.mix64(t * 131L + p))
 
+  // sign table cached on first eval once dim is known: the signs are
+  // constants pure in (t, p, d) — rederiving them per row cost
+  // tables x planes x dim mix64 calls per vector. Benign race: any
+  // thread rebuilds the identical table. Flattened (t, p) x d layout.
+  @transient @volatile private var signCache: Array[Array[Double]] = _
+
+  private def signs(dim: Int): Array[Array[Double]] = {
+    val cur = signCache
+    if (cur != null && cur(0).length == dim) return cur
+    val tbl = new Array[Array[Double]](tables * planes)
+    var t = 0
+    while (t < tables) {
+      var p = 0
+      while (p < planes) {
+        val seed = seeds(t)(p)
+        val row = new Array[Double](dim)
+        var d = 0
+        while (d < dim) {
+          row(d) = if ((Ids.mix64(seed ^ d) & 1L) == 0L) 1.0 else -1.0
+          d += 1
+        }
+        tbl(t * planes + p) = row
+        p += 1
+      }
+      t += 1
+    }
+    signCache = tbl
+    tbl
+  }
+
   override def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
     val dim = v.numElements()
+    val sg = signs(dim)
     val out = new Array[Long](tables)
     var t = 0
     while (t < tables) {
       var bucket = 0L
       var p = 0
       while (p < planes) {
-        val seed = seeds(t)(p)
+        val row = sg(t * planes + p)
         var proj = 0.0
         var d = 0
         while (d < dim) {
-          val s = if ((Ids.mix64(seed ^ d) & 1L) == 0L) 1.0 else -1.0
-          proj += v.getDouble(d) * s
+          proj += v.getDouble(d) * row(d)
           d += 1
         }
         if (proj > 0) bucket += 1L << p

@@ -66,13 +66,14 @@ object Bfs {
     */
   def allPairsDistances(und: DataFrame, maxDepth: Int,
       maxNodes: Int = 10000, driverThreshold: Long = 1 << 16): DataFrame = {
-    val nodes = und.select(col("src").as("a"))
-      .unionAll(und.select(col("dst").as("a"))).distinct()
-    require(nodes.limit(maxNodes + 1).count() <= maxNodes,
+    def guard(nNodes: Long): Unit = require(nNodes <= maxNodes,
       s"allPairsDistances seeds a BFS from EVERY node (O(V*E)); refusing a graph " +
         s"with > $maxNodes nodes — raise maxNodes only for bounded stats subgraphs")
     if (driverThreshold > 0 &&
         und.limit(driverThreshold.toInt).count() < driverThreshold) {
+      // the fast path collects the edges anyway — the node-count guard
+      // runs for free on the collected array instead of as an extra
+      // distributed distinct+count job
       val spark = und.sparkSession
       import spark.implicits._
       val idType = und.schema(und.columns(0)).dataType
@@ -80,6 +81,7 @@ object Bfs {
         .collect().map(r => (r.getString(0), r.getString(1)))
       val adj = edges.groupBy(_._1).map { case (s, es) => (s, es.map(_._2)) }
       val allNodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      guard(allNodes.length.toLong)
       val out = Seq.newBuilder[(String, String, Int)]
       allNodes.foreach { a =>
         val dist = scala.collection.mutable.Map(a -> 0)
@@ -98,6 +100,9 @@ object Bfs {
         .select(col("a").cast(idType).as("a"),
           col("node").cast(idType).as("node"), col("dist"))
     }
+    val nodes = und.select(col("src").as("a"))
+      .unionAll(und.select(col("dst").as("a"))).distinct()
+    guard(nodes.limit(maxNodes + 1).count())
     var dist = nodes
       .select(col("a"), col("a").as("node"), lit(0).as("dist"))
       .localCheckpoint(true)

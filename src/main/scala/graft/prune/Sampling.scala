@@ -68,6 +68,16 @@ object Sampling {
     * (the reference scores it alone in the block): the final left join
     * emits rnk=1, block_size=1 for it, so n_blocks == 2 * nTest always.
     *
+    * DOCUMENTED DEVIATION: when between 1 and blockSize-2 distinct
+    * attempts survive rejection, the block is emitted UNDER-FILLED
+    * (block_size < blockSize) rather than looping until full as the
+    * reference's while-loop does (test_ranking.py) — bounded attempts
+    * keep the op a fixed number of narrow passes. Under-filled blocks
+    * make ranks (and so Hits@k/MRR) easier than the reference protocol
+    * on graphs where the viable corruption pool is small relative to
+    * rejections; raise `attemptFactor` there, and compare block_size
+    * against blockSize when protocol fidelity matters.
+    *
     * Returns one row per (test edge, side): (s, p, o, side, rnk,
     * block_size).
     */

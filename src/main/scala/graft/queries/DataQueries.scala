@@ -34,6 +34,23 @@ object DataQueries {
   private def minhashSqlDuck(k: Int) =
     s"list_min(list_transform(sh, s -> md5('$k:' || s)))"
 
+  /** (hid, tid, hv, rv, tv): consecutive embedding rows joined as an
+    * (h, r, t) scoring frame — the shared scaffold of the KGE queries
+    * q66/q67/q68/q72 (re/im halves: j and j+32 of the 64-dim vector).
+    */
+  private def kgeHrt(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val emb = table(s, d, "embeddings").filter(col("vec_id") < 100)
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+    val h = emb.select(col("vec_id").as("hid"), col("v").as("hv"))
+    val r = emb.select(col("vec_id").as("rid"), col("v").as("rv"))
+    val t = emb.select(col("vec_id").as("tid"), col("v").as("tv"))
+    h.join(r, col("rid") === col("hid") + 1)
+      .join(t, col("tid") === col("hid") + 2)
+  }
+
+  private def kgeRe(v: String, i: Column) = element_at(col(v), i)
+  private def kgeIm(v: String, i: Column) = element_at(col(v), i + 32)
+
   val all: Seq[QueryDef] = Seq(
 
     // ------------------------------------------- string / scalar (§2.8)
@@ -552,19 +569,11 @@ object DataQueries {
     QueryDef("q66_distmult_score",
       // DistMult scoring sum(h * r * t) (reference kge/model.py:175-182)
       // over consecutive embedding rows as (h, r, t)
-      (s, d) => {
-        val emb = table(s, d, "embeddings").filter(col("vec_id") < 100)
-          .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
-        val h = emb.select(col("vec_id").as("hid"), col("v").as("hv"))
-        val r = emb.select(col("vec_id").as("rid"), col("v").as("rv"))
-        val t = emb.select(col("vec_id").as("tid"), col("v").as("tv"))
-        h.join(r, col("rid") === col("hid") + 1)
-          .join(t, col("tid") === col("hid") + 2)
-          .select(col("hid"), col("tid"),
-            round(aggregate(sequence(lit(1), lit(64)), lit(0.0), (acc, i) =>
-              acc + element_at(col("hv"), i) * element_at(col("rv"), i) *
-                element_at(col("tv"), i)), 6).as("distmult"))
-      },
+      (s, d) => kgeHrt(s, d)
+        .select(col("hid"), col("tid"),
+          round(aggregate(sequence(lit(1), lit(64)), lit(0.0), (acc, i) =>
+            acc + element_at(col("hv"), i) * element_at(col("rv"), i) *
+              element_at(col("tv"), i)), 6).as("distmult")),
       Some("""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
              |          FROM embeddings WHERE vec_id < 100)
              |SELECT h.vec_id AS hid, t.vec_id AS tid,
@@ -577,23 +586,13 @@ object DataQueries {
       // ComplEx scoring (kge/model.py:184-199): vectors split into
       // real/imag halves (dim 64 -> 32+32);
       // score = sum_j (re_h*re_r - im_h*im_r)*re_t + (re_h*im_r + im_h*re_r)*im_t
-      (s, d) => {
-        val emb = table(s, d, "embeddings").filter(col("vec_id") < 100)
-          .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
-        val h = emb.select(col("vec_id").as("hid"), col("v").as("hv"))
-        val r = emb.select(col("vec_id").as("rid"), col("v").as("rv"))
-        val t = emb.select(col("vec_id").as("tid"), col("v").as("tv"))
-        def re(v: String, i: org.apache.spark.sql.Column) = element_at(col(v), i)
-        def im(v: String, i: org.apache.spark.sql.Column) = element_at(col(v), i + 32)
-        h.join(r, col("rid") === col("hid") + 1)
-          .join(t, col("tid") === col("hid") + 2)
-          .select(col("hid"), col("tid"),
-            round(aggregate(sequence(lit(1), lit(32)), lit(0.0), (acc, i) =>
-              acc +
-                (re("hv", i) * re("rv", i) - im("hv", i) * im("rv", i)) * re("tv", i) +
-                (re("hv", i) * im("rv", i) + im("hv", i) * re("rv", i)) * im("tv", i)),
-              6).as("complex"))
-      },
+      (s, d) => kgeHrt(s, d)
+        .select(col("hid"), col("tid"),
+          round(aggregate(sequence(lit(1), lit(32)), lit(0.0), (acc, i) =>
+            acc +
+              (kgeRe("hv", i) * kgeRe("rv", i) - kgeIm("hv", i) * kgeIm("rv", i)) * kgeRe("tv", i) +
+              (kgeRe("hv", i) * kgeIm("rv", i) + kgeIm("hv", i) * kgeRe("rv", i)) * kgeIm("tv", i)),
+            6).as("complex")),
       Some("""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
              |          FROM embeddings WHERE vec_id < 100)
              |SELECT h.vec_id AS hid, t.vec_id AS tid,
@@ -608,25 +607,14 @@ object DataQueries {
       // phases (phase_j = r_j * pi, i.e. embedding_range = 1), complex
       // modulus distance to t, gamma = 12;
       // score = gamma - sum_j |h_j * e^(i*phase_j) - t_j|
-      (s, d) => {
-        val emb = table(s, d, "embeddings").filter(col("vec_id") < 100)
-          .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
-        val h = emb.select(col("vec_id").as("hid"), col("v").as("hv"))
-        val r = emb.select(col("vec_id").as("rid"), col("v").as("rv"))
-        val t = emb.select(col("vec_id").as("tid"), col("v").as("tv"))
-        def re(v: String, i: org.apache.spark.sql.Column) = element_at(col(v), i)
-        def im(v: String, i: org.apache.spark.sql.Column) = element_at(col(v), i + 32)
-        val pi = math.Pi
-        h.join(r, col("rid") === col("hid") + 1)
-          .join(t, col("tid") === col("hid") + 2)
-          .select(col("hid"), col("tid"),
-            round(lit(12.0) - aggregate(sequence(lit(1), lit(32)), lit(0.0), (acc, i) => {
-              val ph = re("rv", i) * pi
-              val reS = re("hv", i) * cos(ph) - im("hv", i) * sin(ph) - re("tv", i)
-              val imS = re("hv", i) * sin(ph) + im("hv", i) * cos(ph) - im("tv", i)
-              acc + sqrt(reS * reS + imS * imS)
-            }), 6).as("rotate"))
-      },
+      (s, d) => kgeHrt(s, d)
+        .select(col("hid"), col("tid"),
+          round(lit(12.0) - aggregate(sequence(lit(1), lit(32)), lit(0.0), (acc, i) => {
+            val ph = kgeRe("rv", i) * math.Pi
+            val reS = kgeRe("hv", i) * cos(ph) - kgeIm("hv", i) * sin(ph) - kgeRe("tv", i)
+            val imS = kgeRe("hv", i) * sin(ph) + kgeIm("hv", i) * cos(ph) - kgeIm("tv", i)
+            acc + sqrt(reS * reS + imS * imS)
+          }), 6).as("rotate")),
       Some("""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
              |          FROM embeddings WHERE vec_id < 100)
              |SELECT h.vec_id AS hid, t.vec_id AS tid,
@@ -642,21 +630,12 @@ object DataQueries {
       // phases phi = v_j * pi (embedding_range = 1, as q68),
       // modulus = 0.5 * embedding_range = 0.5, gamma = 12;
       // score = gamma - modulus * sum_j |sin(phi_h + phi_r - phi_t)|
-      (s, d) => {
-        val emb = table(s, d, "embeddings").filter(col("vec_id") < 100)
-          .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
-        val h = emb.select(col("vec_id").as("hid"), col("v").as("hv"))
-        val r = emb.select(col("vec_id").as("rid"), col("v").as("rv"))
-        val t = emb.select(col("vec_id").as("tid"), col("v").as("tv"))
-        val pi = math.Pi
-        h.join(r, col("rid") === col("hid") + 1)
-          .join(t, col("tid") === col("hid") + 2)
-          .select(col("hid"), col("tid"),
-            round(lit(12.0) - lit(0.5) *
-              aggregate(sequence(lit(1), lit(64)), lit(0.0), (acc, i) =>
-                acc + abs(sin((element_at(col("hv"), i) + element_at(col("rv"), i) -
-                  element_at(col("tv"), i)) * pi))), 6).as("protate"))
-      },
+      (s, d) => kgeHrt(s, d)
+        .select(col("hid"), col("tid"),
+          round(lit(12.0) - lit(0.5) *
+            aggregate(sequence(lit(1), lit(64)), lit(0.0), (acc, i) =>
+              acc + abs(sin((element_at(col("hv"), i) + element_at(col("rv"), i) -
+                element_at(col("tv"), i)) * math.Pi))), 6).as("protate")),
       Some("""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
              |          FROM embeddings WHERE vec_id < 100)
              |SELECT h.vec_id AS hid, t.vec_id AS tid,

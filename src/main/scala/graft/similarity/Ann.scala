@@ -34,7 +34,7 @@ object Ann {
     * lambda evals per row), then posexplode'd into per-table rows.
     */
   def signatures(emb: DataFrame, idCol: String, vCol: String,
-      tables: Int, planes: Int, dim: Int): DataFrame =
+      tables: Int, planes: Int): DataFrame =
     emb.select(col(idCol), col(vCol),
       posexplode(graft.functions.VectorOps.lshBuckets(col(vCol), tables, planes)))
       .select(col(idCol), col(vCol), col("pos").as("tbl"), col("col").as("bucket"))
@@ -49,10 +49,9 @@ object Ann {
       // defaults tuned for weakly-clustered data: more tables + shorter
       // signatures = higher collision probability per true neighbor
       tables: Int = 8,
-      planes: Int = 6,
-      dim: Int = 64): DataFrame = {
-    val corpusSig = signatures(emb, "id", "v", tables, planes, dim)
-    val querySig = signatures(queries, "qid", "qv", tables, planes, dim)
+      planes: Int = 6): DataFrame = {
+    val corpusSig = signatures(emb, "id", "v", tables, planes)
+    val querySig = signatures(queries, "qid", "qv", tables, planes)
     val cands = querySig.join(corpusSig, Seq("tbl", "bucket"))
       .filter(col("qid") =!= col("id"))
       .select("qid", "qv", "id", "v")
@@ -93,15 +92,24 @@ object Ann {
     * on cid (the same 1-aggregation discipline as the SimHash votes).
     * Empty clusters keep their previous centroid.
     *
+    * The dimensionality is read off the collected seed vectors — a
+    * caller-supplied dim that disagreed with the data either NPE'd
+    * (larger: all-null avg columns) or silently truncated centroids
+    * (smaller), so there is no parameter to disagree with.
+    *
     * Returns (centroid matrix indexed by cid, index = (id, v, cid)).
     */
-  def ivfIndex(emb: DataFrame, c: Int, iters: Int = 2,
-      dim: Int = 64): (Array[Array[Double]], DataFrame) = {
+  def ivfIndex(emb: DataFrame, c: Int,
+      iters: Int = 2): (Array[Array[Double]], DataFrame) = {
     var centroids: Array[Array[Double]] = emb
       .orderBy(Ids.saltCol(Int.MaxValue, col("id")), col("id"))
       .limit(c)
       .select(col("v"))
       .collect().map(_.getSeq[Double](0).toArray)
+    require(centroids.nonEmpty, "ivfIndex: empty corpus")
+    val dim = centroids.head.length
+    require(centroids.forall(_.length == dim),
+      s"ivfIndex: mixed vector dimensionality in seed sample (expected $dim)")
     var it = 0
     while (it < iters) {
       val cid = element_at(
@@ -131,9 +139,8 @@ object Ann {
       k: Int,
       c: Int = 16,
       nprobe: Int = 4,
-      iters: Int = 2,
-      dim: Int = 64): DataFrame = {
-    val (centroids, index) = ivfIndex(emb, c, iters, dim)
+      iters: Int = 2): DataFrame = {
+    val (centroids, index) = ivfIndex(emb, c, iters)
     val probes = queries.select(col("qid"), col("qv"),
       explode(slice(
         graft.functions.VectorOps.centroidRanks(col("qv"), centroids),

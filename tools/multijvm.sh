@@ -30,15 +30,22 @@ for r in $(seq 1 "$REPS"); do
   done
   for p in "${pids[@]}"; do wait "$p"; done
   python3 - "$r" <<'EOF'
-import json, sys
+import json, sys, os
 r = sys.argv[1]
 tot_a, walls = 0, []
 for q in range(4):
-    d = json.load(open(f"/tmp/multijvm_{r}_q{q}.json"))["kg"]
+    f = f"/tmp/multijvm_{r}_q{q}.json"
+    # a crashed/OOM'd JVM leaves an empty file (stderr is discarded):
+    # name the failed quarter instead of dying on a JSONDecodeError
+    if not os.path.exists(f) or os.path.getsize(f) == 0:
+        print(f"  rep={r} q={q} FAILED (empty {f}) — rep aggregate invalid")
+        continue
+    d = json.load(open(f))["kg"]
     tot_a += d["assertions"]; walls.append(d["wall_sec"])
     print(f"  rep={r} q={q} assertions={d['assertions']} "
           f"wall={d['wall_sec']:.1f}s tps={d['triples_per_sec']:.0f}")
-print(f"rep={r} AGGREGATE assertions={tot_a} max_wall={max(walls):.1f}s "
-      f"agg_tps={tot_a/max(walls):.0f}")
+if walls:
+    print(f"rep={r} AGGREGATE assertions={tot_a} max_wall={max(walls):.1f}s "
+          f"agg_tps={tot_a/max(walls):.0f}")
 EOF
 done
