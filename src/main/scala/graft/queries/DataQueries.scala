@@ -254,6 +254,41 @@ object DataQueries {
               |  (round(1.0 - CAST(len(list_distinct(sh)) AS DOUBLE) / len(sh), 6) > 0.05) AS flagged
               |FROM g""".stripMargin)),
 
+    QueryDef("q73_url_normalize",
+      // URL canonicalization (webtext dedup prep): lowercase scheme+
+      // host, strip default :443 port, drop utm_* params and fragments,
+      // trim dangling separators. The fixture has no URLs, so a messy
+      // one is planted deterministically per doc IN BOTH ENGINES (as
+      // q70), then normalized by the identical regexp chain.
+      (s, d) => {
+        val raw = concat(lit("HTTPS://WWW.Example"), pmod(col("doc_id"), lit(7)),
+          lit(".COM:443/Path/"), col("doc_id"),
+          lit("?utm_source=x&id="), col("doc_id"), lit("&utm_campaign=y#frag"))
+        table(s, d, "documents")
+          .select(col("doc_id"), raw.as("url"))
+          .withColumn("u1", regexp_replace(col("url"), "#.*$", ""))
+          .withColumn("u2", regexp_replace(col("u1"), "utm_[A-Za-z]+=[^&]*&?", ""))
+          .withColumn("u3", regexp_replace(col("u2"), "[?&]+$", ""))
+          .withColumn("head", regexp_extract(col("u3"), "^([^/]*//[^/]*)", 1))
+          .select(col("doc_id"), col("url"),
+            concat(
+              regexp_replace(lower(col("head")), ":443$", ""),
+              expr("substring(u3, length(head) + 1)")).as("url_norm"))
+      },
+      Some("""WITH raw AS (SELECT doc_id,
+             |  'HTTPS://WWW.Example' || (doc_id % 7) || '.COM:443/Path/' || doc_id
+             |   || '?utm_source=x&id=' || doc_id || '&utm_campaign=y#frag' AS url
+             |  FROM documents),
+             |s1 AS (SELECT doc_id, url,
+             |  regexp_replace(regexp_replace(regexp_replace(url, '#.*$', ''),
+             |    'utm_[A-Za-z]+=[^&]*&?', '', 'g'), '[?&]+$', '') AS u3 FROM raw),
+             |s2 AS (SELECT doc_id, url, u3,
+             |  regexp_extract(u3, '^([^/]*//[^/]*)', 1) AS head FROM s1)
+             |SELECT doc_id, url,
+             |  regexp_replace(lower(head), ':443$', '')
+             |    || substring(u3, strlen(head) + 1) AS url_norm
+             |FROM s2""".stripMargin)),
+
     // ------------------------------------------------------- dedup
     QueryDef("q39_dedup_exact",
       // exact dedup: keeper = min doc_id per fingerprint

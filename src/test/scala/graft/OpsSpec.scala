@@ -131,6 +131,38 @@ class OpsSpec extends AnyFunSuite {
     assert(native.toSeq == rel.toSeq)
   }
 
+  test("Md5MinHash/Md5SimHash parity holds on 300 seeded-random strings") {
+    // randomized sweep (fixed seed, deterministic): mixed alphabets,
+    // space runs, unicode, zero-to-long lengths — one DF pass per form
+    val rnd = new scala.util.Random(4242)
+    val alphabet = "ab cde  f—ghé世 ij" // spaces, accents, CJK
+    val texts = (1L to 300L).map { i =>
+      val len = rnd.nextInt(120)
+      (i, (0 until len).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+    }.toDF("id", "text")
+    val t = split(col("text"), " ")
+    val sh = transform(sequence(lit(0), size(t) - 3), i =>
+      concat_ws(" ", element_at(t, i + 1), element_at(t, i + 2), element_at(t, i + 3)))
+    val refMin = texts.withColumn("t", t).filter(size(col("t")) >= 3)
+      .select(col("id"), explode(sh).as("g"))
+      .groupBy("id")
+      .agg(min(md5(concat(lit("0:"), col("g")))).as("s0"),
+        min(md5(concat(lit("1:"), col("g")))).as("s1"))
+      .as[(Long, String, String)].collect().sortBy(_._1)
+    val natMin = texts.select(col("id"),
+      graft.functions.Md5MinHash.of(col("text"), n = 3, k = 2).as("sg"))
+      .filter(col("sg").isNotNull)
+      .select(col("id"), element_at(col("sg"), 1), element_at(col("sg"), 2))
+      .as[(Long, String, String)].collect().sortBy(_._1)
+    assert(natMin.toSeq == refMin.toSeq)
+    val refSim = SimHash.fingerprintsPortable(texts, "id", split(col("text"), " "))
+      .as[(Long, Long)].collect().sortBy(_._1)
+    val natSim = texts.select(col("id"),
+      graft.functions.Md5SimHash.of(col("text")).as("sh"))
+      .as[(Long, Long)].collect().sortBy(_._1)
+    assert(natSim.toSeq == refSim.toSeq)
+  }
+
   test("CosineSim bit-equal to HOF form; LshBuckets equal to per-plane formula") {
     import graft.core.Ids
     val dim = 64
