@@ -86,4 +86,40 @@ object StreamOps {
           }
       }
   }
+
+  final case class PageKeep(fp: Long, url: String, text: String, lang: String)
+
+  /** Incremental KG front half: continuously-crawled pages -> stateful
+    * exact dedup (first-seen keeper per content fingerprint, as
+    * [[dedupStream]] but carrying the full page row) -> stateless triple
+    * extraction -> entity linking against the STATIC broadcast alias
+    * dictionary (stream-static inner joins are append-safe; the argmax
+    * is per-row HOF logic, no streaming aggregation anywhere). The
+    * downstream global stages (CC canonicalization, degree-window
+    * pruning) stay batch over the accumulated table — the reference's
+    * HITL loop re-runs those periodically anyway.
+    *
+    * Returns the linked-assertion stream: same schema as the batch
+    * `EntityLink.link` output, provably equal to the batch run over the
+    * union of all micro-batches after dedup (StreamingSpec).
+    */
+  def incrementalLinked(
+      pagesStream: DataFrame,
+      aliasDict: DataFrame,
+      entityKeywords: DataFrame): DataFrame = {
+    import pagesStream.sparkSession.implicits._
+    val kept = pagesStream
+      .select(xxhash64(col("text")).as("fp"), col("url"), col("text"), col("lang"))
+      .as[PageKeep]
+      .groupByKey(_.fp)
+      .flatMapGroupsWithState[Boolean, PageKeep](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (fp: Long, rows: Iterator[PageKeep], state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else { state.update(true); Iterator.single(rows.minBy(_.url)) }
+      }
+      .toDF().drop("fp")
+    graft.link.EntityLink.link(
+      graft.extract.TripleExtract.assertions(kept), aliasDict, entityKeywords)
+  }
 }

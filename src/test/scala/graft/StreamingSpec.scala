@@ -126,4 +126,55 @@ class StreamingSpec extends AnyFunSuite {
       assert(got == Set("u1", "u3", "u5"), s"got $got")
     } finally q.stop()
   }
+
+  test("incremental dedup+extract+link stream equals batch over deduped union") {
+    import graft.fixtures.Fixtures
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-kg")
+    val pages = Fixtures.pages(spark, Fixtures.tiny).toDF()
+      .select("url", "text", "lang")
+    // stage as two micro-batch files, duplicating a page across batches
+    // (cross-batch dedup must drop the re-crawl)
+    def stage(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-kg-batch")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp)
+        .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+      java.nio.file.Files.move(part, dir.resolve(name))
+    }
+    val firstHalf = pages.filter(xxhash64(col("url")) % 2 === 0)
+    val recrawl = firstHalf.limit(20) // same (url, text): dup fingerprints
+    stage("b1.parquet", firstHalf)
+    val inputs = graft.pipeline.KgPipeline.fixtureInputs(spark, Fixtures.tiny)
+    val stream = spark.readStream.schema(pages.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir.toString)
+    val q = StreamOps.incrementalLinked(stream, inputs.aliasDict, inputs.entityKeywords)
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("kg_out")
+      .start()
+    try {
+      q.processAllAvailable()
+      stage("b2.parquet", pages.filter(xxhash64(col("url")) % 2 =!= 0).union(recrawl))
+      q.processAllAvailable()
+      val got = spark.table("kg_out")
+        .select("url", "subject", "predicate", "object")
+        .as[(String, String, String, String)].collect().toSet
+      // batch equivalent replicating first-seen-BATCH-then-min-url
+      // keeper semantics (the fixture plants true duplicate texts that
+      // can straddle the two micro-batches)
+      val keepers = pages
+        .withColumn("fp", xxhash64(col("text")))
+        .withColumn("batch",
+          when(xxhash64(col("url")) % 2 === 0, 0).otherwise(1))
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("fp")
+            .orderBy(col("batch"), col("url"))))
+        .filter(col("rn") === 1).drop("fp", "rn", "batch")
+      val want = graft.link.EntityLink.link(
+        graft.extract.TripleExtract.assertions(keepers),
+        inputs.aliasDict, inputs.entityKeywords)
+        .select("url", "subject", "predicate", "object")
+        .as[(String, String, String, String)].collect().toSet
+      assert(got == want && got.nonEmpty, s"stream ${got.size} vs batch ${want.size}")
+    } finally q.stop()
+  }
 }
