@@ -138,6 +138,28 @@ object DataQueries {
              |  round(len(string_split(text, ' ')) * CAST(1.3 AS DOUBLE), 2) AS est_llm_tokens
              |FROM documents""".stripMargin)),
 
+    QueryDef("q74_bpe_pretokenize",
+      // BPE-style pre-tokenization (GPT-2-ish segmentation, simplified
+      // to the Java-regex/RE2 common subset — no lookahead): letter
+      // runs, digit runs, punctuation runs, each with an optional
+      // leading space, plus residual whitespace runs. Token count per
+      // doc plus the segmented prefix for inspection.
+      (s, d) => {
+        val pat = "\\s?\\p{L}+|\\s?\\p{N}+|\\s?[^\\s\\p{L}\\p{N}]+|\\s+"
+        table(s, d, "documents")
+          .select(col("doc_id"),
+            regexp_extract_all(col("text"), lit(pat), lit(0)).as("tk"))
+          .select(col("doc_id"),
+            size(col("tk")).as("n_bpe_tokens"),
+            concat_ws("|", slice(col("tk"), 1, 8)).as("head_tokens"))
+      },
+      Some("""SELECT doc_id,
+             |  CAST(len(tk) AS INTEGER) AS n_bpe_tokens,
+             |  array_to_string(tk[1:8], '|') AS head_tokens
+             |FROM (SELECT doc_id, regexp_extract_all(text,
+             |        '\s?\p{L}+|\s?\p{N}+|\s?[^\s\p{L}\p{N}]+|\s+') AS tk
+             |      FROM documents) x""".stripMargin)),
+
     QueryDef("q36_quality_score",
       // quality: stopword ratio, mean token length, length prior
       (s, d) => table(s, d, "documents")

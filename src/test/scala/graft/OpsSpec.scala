@@ -70,6 +70,28 @@ class OpsSpec extends AnyFunSuite {
     assert(feats.map(_.kind).toSet == Set("image", "audio", "video"))
   }
 
+  test("multimodal features compose into the IVF ANN index end-to-end") {
+    // the declared multimodal contract: opaque binary -> feature vector
+    // -> similarity search. Wire the stub featurizer's output straight
+    // into ivfIndex/ivfTopK to prove the schema/typing seam is real.
+    val pages = Fixtures.pages(spark, Fixtures.tiny).toDF()
+    val media = Multimodal.mediaFromPages(spark, pages)
+    val emb = Multimodal.featurize(media, 4).toDF()
+      .select(col("media_id").as("id"),
+        transform(col("features"), _.cast("double")).as("v"))
+    val queries = emb.filter(col("id") < 5)
+      .select(col("id").as("qid"), col("v").as("qv"))
+    val topk = graft.similarity.Ann.ivfTopK(emb, queries, 3, c = 8)
+      .collect()
+    assert(topk.nonEmpty)
+    val byQ = topk.groupBy(_.getAs[Long]("qid"))
+    assert(byQ.values.forall(_.length <= 3))
+    // 16-dim stub features: dimensionality is derived from the data,
+    // not assumed 64 (the round-3 review fix)
+    val (centroids, _) = graft.similarity.Ann.ivfIndex(emb, c = 8)
+    assert(centroids.forall(_.length == Multimodal.featureDim))
+  }
+
   test("multimodal frame sampling: n typed frames per row") {
     val pages = Fixtures.pages(spark, Fixtures.tiny).toDF().limit(5)
     val media = Multimodal.mediaFromPages(spark, pages)
