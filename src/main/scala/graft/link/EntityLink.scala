@@ -64,9 +64,15 @@ object EntityLink {
   def link(
       assertions: DataFrame,
       aliasDict: DataFrame,
-      entityKeywords: DataFrame): DataFrame = {
+      entityKeywords: DataFrame): DataFrame =
+    linkWithDict(assertions, dictByAlias(aliasDict, entityKeywords))
 
-    val dict = dictByAlias(aliasDict, entityKeywords)
+  /** [[link]] against a PRE-BUILT [[dictByAlias]] frame — callers that
+    * link repeatedly (the streaming path re-executes the static join
+    * side every micro-batch) build + materialize the dictionary once
+    * and pass it here, so per-trigger work is the pure row map.
+    */
+  def linkWithDict(assertions: DataFrame, dict: DataFrame): DataFrame = {
     val sDict = broadcast(dict
       .withColumnRenamed("alias", "subj_alias").withColumnRenamed("cands", "s_cands"))
     val oDict = broadcast(dict

@@ -155,7 +155,7 @@ object DataQueries {
       },
       Some("""SELECT doc_id,
              |  CAST(len(tk) AS INTEGER) AS n_bpe_tokens,
-             |  array_to_string(tk[1:8], '|') AS head_tokens
+             |  coalesce(array_to_string(tk[1:8], '|'), '') AS head_tokens
              |FROM (SELECT doc_id, regexp_extract_all(text,
              |        '\s?\p{L}+|\s?\p{N}+|\s?[^\s\p{L}\p{N}]+|\s+') AS tk
              |      FROM documents) x""".stripMargin)),
@@ -308,7 +308,7 @@ object DataQueries {
              |  regexp_extract(u3, '^([^/]*//[^/]*)', 1) AS head FROM s1)
              |SELECT doc_id, url,
              |  regexp_replace(lower(head), ':443$', '')
-             |    || substring(u3, strlen(head) + 1) AS url_norm
+             |    || substring(u3, length(head) + 1) AS url_norm
              |FROM s2""".stripMargin)),
 
     // ------------------------------------------------------- dedup

@@ -69,22 +69,30 @@ object StreamOps {
     * store backs onto RocksDB and the fingerprint key is 8 bytes, the
     * same hashed-long discipline as the batch dedup broadcast.
     */
-  def dedupStream(docs: DataFrame): Dataset[Keyed] = {
-    import docs.sparkSession.implicits._
-    docs
-      .select(xxhash64(col("text")).as("fp"), col("url"))
-      .as[Keyed]
-      .groupByKey(_.fp)
-      .flatMapGroupsWithState[Boolean, Keyed](
+  /** Generic first-seen keeper: one output row per fingerprint, the
+    * min-tiebreak row of the first micro-batch that carries it — the
+    * single implementation behind [[dedupStream]] and
+    * [[incrementalLinked]] so the keeper semantics cannot diverge.
+    */
+  private def firstSeen[T](ds: Dataset[T], fp: T => Long,
+      tiebreak: T => String)(implicit enc: org.apache.spark.sql.Encoder[T]): Dataset[T] =
+    ds.groupByKey(fp)(org.apache.spark.sql.Encoders.scalaLong)
+      .flatMapGroupsWithState[Boolean, T](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (fp: Long, rows: Iterator[Keyed], state: GroupState[Boolean]) =>
+        (_: Long, rows: Iterator[T], state: GroupState[Boolean]) =>
           if (state.exists) Iterator.empty
           else {
             state.update(true)
             // deterministic within the arriving micro-batch group
-            Iterator.single(rows.minBy(_.url))
+            Iterator.single(rows.minBy(tiebreak))
           }
-      }
+      }(org.apache.spark.sql.Encoders.scalaBoolean, enc)
+
+  def dedupStream(docs: DataFrame): Dataset[Keyed] = {
+    import docs.sparkSession.implicits._
+    firstSeen(
+      docs.select(xxhash64(col("text")).as("fp"), col("url")).as[Keyed],
+      (k: Keyed) => k.fp, (k: Keyed) => k.url)
   }
 
   final case class PageKeep(fp: Long, url: String, text: String, lang: String)
@@ -108,18 +116,18 @@ object StreamOps {
       aliasDict: DataFrame,
       entityKeywords: DataFrame): DataFrame = {
     import pagesStream.sparkSession.implicits._
-    val kept = pagesStream
-      .select(xxhash64(col("text")).as("fp"), col("url"), col("text"), col("lang"))
-      .as[PageKeep]
-      .groupByKey(_.fp)
-      .flatMapGroupsWithState[Boolean, PageKeep](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (fp: Long, rows: Iterator[PageKeep], state: GroupState[Boolean]) =>
-          if (state.exists) Iterator.empty
-          else { state.update(true); Iterator.single(rows.minBy(_.url)) }
-      }
+    val kept = firstSeen(
+      pagesStream
+        .select(xxhash64(col("text")).as("fp"), col("url"), col("text"), col("lang"))
+        .as[PageKeep],
+      (p: PageKeep) => p.fp, (p: PageKeep) => p.url)
       .toDF().drop("fp")
-    graft.link.EntityLink.link(
-      graft.extract.TripleExtract.assertions(kept), aliasDict, entityKeywords)
+    // build + materialize the alias dictionary ONCE: the static side of
+    // a stream-static join is re-executed every trigger, so without
+    // this each micro-batch re-runs the dict join/aggregation
+    val dict = graft.link.EntityLink.dictByAlias(aliasDict, entityKeywords)
+      .localCheckpoint(true)
+    graft.link.EntityLink.linkWithDict(
+      graft.extract.TripleExtract.assertions(kept), dict)
   }
 }
