@@ -160,6 +160,59 @@ object DataQueries {
              |        '\s?\p{L}+|\s?\p{N}+|\s?[^\s\p{L}\p{N}]+|\s+') AS tk
              |      FROM documents) x""".stripMargin)),
 
+    QueryDef("q75_cdc_rolling_hash",
+      // Content-defined chunking via a rolling window hash (the
+      // dedup-friendly fingerprint form: chunk boundaries move with
+      // content, not offsets). Window = 8 chars, H(i) = sum_j
+      // ascii(c_{i+j}) * 31^(7-j) — max 127 * sum(31^j) < 2^42, so the
+      // arithmetic stays in exact BIGINT range with NO modular step and
+      // is bit-identical across engines; boundary where H % 64 == 0.
+      // Emits per doc: window count, boundary count, and the first
+      // boundary positions (the chunk grid a CDC dedup would key on).
+      (s, d) => {
+        val w = 8
+        val pow = (0 until w).map(j => math.pow(31, w - 1 - j).toLong)
+        table(s, d, "documents")
+          .withColumn("n", length(col("text")))
+          .filter(col("n") >= w)
+          .withColumn("bounds",
+            filter(
+              transform(sequence(lit(1), col("n") - (w - 1)), i =>
+                struct(i.as("i"),
+                  (0 until w).map(j =>
+                    ascii(col("text").substr(i + lit(j), lit(1))).cast("long") *
+                      lit(pow(j))).reduce(_ + _).as("h"))),
+              x => pmod(x("h"), lit(64L)) === 0))
+          .select(col("doc_id"),
+            (col("n") - (w - 1)).as("n_windows"),
+            size(col("bounds")).as("n_boundaries"),
+            concat_ws(",", transform(slice(col("bounds"), 1, 6),
+              x => x("i").cast("string"))).as("head_boundaries"))
+      },
+      Some("""WITH d AS (SELECT doc_id, text, strlen(text) AS n FROM documents
+             |           WHERE strlen(text) >= 8),
+             |b AS (SELECT doc_id, n,
+             |  list_filter(
+             |    list_transform(range(1, n - 6),
+             |      i -> {'i': i, 'h':
+             |        ord(substring(text, CAST(i AS INTEGER), 1)) * CAST(27512614111 AS BIGINT)
+             |      + ord(substring(text, CAST(i + 1 AS INTEGER), 1)) * CAST(887503681 AS BIGINT)
+             |      + ord(substring(text, CAST(i + 2 AS INTEGER), 1)) * CAST(28629151 AS BIGINT)
+             |      + ord(substring(text, CAST(i + 3 AS INTEGER), 1)) * CAST(923521 AS BIGINT)
+             |      + ord(substring(text, CAST(i + 4 AS INTEGER), 1)) * CAST(29791 AS BIGINT)
+             |      + ord(substring(text, CAST(i + 5 AS INTEGER), 1)) * CAST(961 AS BIGINT)
+             |      + ord(substring(text, CAST(i + 6 AS INTEGER), 1)) * CAST(31 AS BIGINT)
+             |      + CAST(ord(substring(text, CAST(i + 7 AS INTEGER), 1)) AS BIGINT)}),
+             |    x -> x.h % 64 = 0) AS bounds
+             |  FROM d)
+             |SELECT doc_id,
+             |  CAST(n - 7 AS INTEGER) AS n_windows,
+             |  CAST(len(bounds) AS INTEGER) AS n_boundaries,
+             |  coalesce(array_to_string(
+             |    list_transform(bounds[1:6], x -> CAST(x.i AS VARCHAR)), ','), '')
+             |    AS head_boundaries
+             |FROM b""".stripMargin)),
+
     QueryDef("q36_quality_score",
       // quality: stopword ratio, mean token length, length prior
       (s, d) => table(s, d, "documents")

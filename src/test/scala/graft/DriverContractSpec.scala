@@ -33,7 +33,8 @@ class DriverContractSpec extends AnyFunSuite {
       "q61_community_f1", "q62_eccentricity", "q48_simhash_neardup",
       "q63_target_component", "q64_row_chunk", "q65_community_subgraph",
       "q69_ann_ivf_topk", "q70_pii_redact", "q71_repetition_ratio",
-      "q72_protate_score", "q73_url_normalize", "q74_bpe_pretokenize")
+      "q72_protate_score", "q73_url_normalize", "q74_bpe_pretokenize",
+      "q75_cdc_rolling_hash")
     mustBeNonEmpty.foreach { name =>
       assert(SparkEntry.queries(name)(spark, sf).count() > 0, name)
     }
