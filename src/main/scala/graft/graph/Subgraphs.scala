@@ -138,9 +138,62 @@ object Subgraphs {
       edges: DataFrame,
       candidates: DataFrame,
       h: Int,
-      maxNodesPerHop: Option[Int] = None): DataFrame = {
+      maxNodesPerHop: Option[Int] = None,
+      driverThreshold: Long = 1 << 16): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
+
+    // Small inputs short-circuit to a driver loop over the SAME
+    // per-candidate beam body (communityLabelBeam) — the distributed
+    // scaffolding costs h BFS rounds of ~3 jobs each plus the induced
+    // join, all fixed overhead at stats-subgraph size (the CC /
+    // dictionary / all-pairs-BFS adaptivity discipline). Pass
+    // driverThreshold=0 to force the distributed path (tests assert
+    // both paths emit identical rows).
+    if (driverThreshold > 0 &&
+        edges.limit(driverThreshold.toInt).count() < driverThreshold &&
+        candidates.limit(driverThreshold.toInt).count() < driverThreshold) {
+      val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val adjAll: Map[Long, Array[Long]] = e.groupBy(_._1)
+        .map { case (k, v) => k -> v.map(_._2) }
+      val degAll: Map[Long, Int] = adjAll.map { case (k, v) => k -> v.length }
+      val totalVol = e.length.toDouble
+      val md = java.security.MessageDigest.getInstance("MD5")
+      def md5hex(n: Long): String = {
+        md.reset()
+        md.digest(n.toString.getBytes("UTF-8"))
+          .map(b => f"${b & 0xff}%02x").mkString
+      }
+      val cands = candidates.select(col("edge_id").cast("string"),
+        col("head").cast("long"), col("tail").cast("long"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      val out = cands.iterator.flatMap { case (eid, head, tail) =>
+        // union neighborhood, both roots seeded, per-level md5 cap —
+        // the same gather semantics as the distributed frontier joins
+        var visited = Set(head, tail)
+        var frontier = Set(head, tail)
+        var level = 0
+        while (level < h && frontier.nonEmpty) {
+          level += 1
+          var next = frontier.flatMap(n => adjAll.getOrElse(n, Array.empty[Long]))
+            .diff(visited)
+          maxNodesPerHop.foreach { cap =>
+            next = next.toSeq.sortBy(md5hex).take(cap).toSet
+          }
+          frontier = next
+          visited ++= next
+        }
+        // marker row first, exactly as the distributed unionAll does
+        // (guarantees fullDeg carries the head even for empty beams)
+        val induced = Iterator((head, head, degAll.getOrElse(head, 0))) ++
+          e.iterator
+            .filter(r => visited(r._1) && visited(r._2))
+            .map(r => (r._1, r._2, degAll.getOrElse(r._1, 0)))
+        communityLabelBeam(eid, head, tail, induced, totalVol, h)
+      }.toSeq
+      return spark.createDataset(out).toDF()
+    }
 
     // 1. per-candidate union neighborhood, both roots seeded at once
     var visited = candidates.select(col("edge_id"), col("head").as("node"))
@@ -196,51 +249,62 @@ object Subgraphs {
     // 3-5. per-candidate beam: multicom + induced-subgraph double-radius
     beam.groupByKey(_.edge_id).flatMapGroups { (eid, rows) =>
       val buf = rows.toArray
-      val head = buf.head.head
-      val tail = buf.head.tail
-      val fullDeg: Map[Long, Int] =
-        buf.iterator.map(r => r.src -> r.src_deg.toInt).toMap
-      val adj: Map[Long, Array[Long]] = buf.iterator
-        .filter(r => r.src != r.dst)
-        .map(r => r.src -> r.dst) // edges arrive symmetric
-        .toSeq.groupBy(_._1)
-        .map { case (k, v) => k -> v.map(_._2).distinct.sorted.toArray }
-      val ppr = Ppr.approximatePpr(adj, Seq(head, tail), fullDeg = fullDeg)
-      val community = Ppr.sweepCut(adj, ppr, fullDeg, Some(totalVol))
-      val cluster = (community - head - tail)
-        .intersect(adj.keySet ++ adj.valuesIterator.flatten) // C ∩ U
-      val subNodes = Set(head, tail) ++ cluster
-      val subAdj: Map[Long, Array[Long]] = adj.collect {
-        case (k, vs) if subNodes(k) => k -> vs.filter(subNodes)
-      }
-      // BFS within the induced subgraph, one root removed
-      def dists(root: Long, removed: Long): Map[Long, Int] = {
-        val d = scala.collection.mutable.Map(root -> 0)
-        var front = List(root)
-        var lvl = 0
-        while (front.nonEmpty && lvl < h) {
-          lvl += 1
-          front = front
-            .flatMap(u => subAdj.getOrElse(u, Array.empty[Long]))
-            .filter(v => v != removed && !d.contains(v))
-            .distinct
-          front.foreach(v => d(v) = lvl)
-        }
-        d.toMap
-      }
-      val dh = dists(head, tail)
-      val dt = dists(tail, head)
-      val rootRows = Iterator(
-        LabeledNode(eid, head, 0, 1), LabeledNode(eid, tail, 1, 0))
-      val nodeRows = cluster.iterator.flatMap { n =>
-        (dh.get(n), dt.get(n)) match {
-          case (Some(a), Some(b)) if math.max(a, b) <= h =>
-            Iterator(LabeledNode(eid, n, a, b))
-          case _ => Iterator.empty // unreachable from a root -> pruned
-        }
-      }
-      rootRows ++ nodeRows
+      communityLabelBeam(eid, buf.head.head, buf.head.tail,
+        buf.iterator.map(r => (r.src, r.dst, r.src_deg.toInt)), totalVol, h)
     }.toDF()
+  }
+
+  /** The per-candidate multicom beam body — ONE implementation shared
+    * by the distributed flatMapGroups path and the driver fast path so
+    * the community/label semantics cannot diverge. `edges` is the
+    * gathered symmetric induced edge list with full-graph src degrees
+    * (self-loop marker rows tolerated: dropped by the adjacency build).
+    */
+  private def communityLabelBeam(eid: String, head: Long, tail: Long,
+      edges: Iterator[(Long, Long, Int)], totalVol: Double,
+      h: Int): Iterator[LabeledNode] = {
+    val buf = edges.toArray
+    val fullDeg: Map[Long, Int] = buf.iterator.map(r => r._1 -> r._3).toMap
+    val adj: Map[Long, Array[Long]] = buf.iterator
+      .filter(r => r._1 != r._2)
+      .map(r => r._1 -> r._2) // edges arrive symmetric
+      .toSeq.groupBy(_._1)
+      .map { case (k, v) => k -> v.map(_._2).distinct.sorted.toArray }
+    val ppr = Ppr.approximatePpr(adj, Seq(head, tail), fullDeg = fullDeg)
+    val community = Ppr.sweepCut(adj, ppr, fullDeg, Some(totalVol))
+    val cluster = (community - head - tail)
+      .intersect(adj.keySet ++ adj.valuesIterator.flatten) // C ∩ U
+    val subNodes = Set(head, tail) ++ cluster
+    val subAdj: Map[Long, Array[Long]] = adj.collect {
+      case (k, vs) if subNodes(k) => k -> vs.filter(subNodes)
+    }
+    // BFS within the induced subgraph, one root removed
+    def dists(root: Long, removed: Long): Map[Long, Int] = {
+      val d = scala.collection.mutable.Map(root -> 0)
+      var front = List(root)
+      var lvl = 0
+      while (front.nonEmpty && lvl < h) {
+        lvl += 1
+        front = front
+          .flatMap(u => subAdj.getOrElse(u, Array.empty[Long]))
+          .filter(v => v != removed && !d.contains(v))
+          .distinct
+        front.foreach(v => d(v) = lvl)
+      }
+      d.toMap
+    }
+    val dh = dists(head, tail)
+    val dt = dists(tail, head)
+    val rootRows = Iterator(
+      LabeledNode(eid, head, 0, 1), LabeledNode(eid, tail, 1, 0))
+    val nodeRows = cluster.iterator.flatMap { n =>
+      (dh.get(n), dt.get(n)) match {
+        case (Some(a), Some(b)) if math.max(a, b) <= h =>
+          Iterator(LabeledNode(eid, n, a, b))
+        case _ => Iterator.empty // unreachable from a root -> pruned
+      }
+    }
+    rootRows ++ nodeRows
   }
 
   /** Assemble per-candidate subgraph records: sorted node list + labels

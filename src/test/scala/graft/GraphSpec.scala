@@ -108,6 +108,20 @@ class GraphSpec extends AnyFunSuite {
     assert(got == Set(21L, 22L, 23L), s"got $got")
   }
 
+  test("community beam: driver fast path == distributed path (incl. hop cap)") {
+    val cands = Seq(("e1", 11L, 12L), ("e2", 1L, 2L), ("e3", 10L, 13L))
+      .toDF("edge_id", "head", "tail")
+    for (cap <- Seq(None, Some(2))) {
+      val fast = Subgraphs.encloseAndLabelCommunity(edges, cands, 2, cap)
+        .as[(String, Long, Int, Int)].collect().toSet
+      val dist = Subgraphs.encloseAndLabelCommunity(edges, cands, 2, cap,
+        driverThreshold = 0)
+        .as[(String, Long, Int, Int)].collect().toSet
+      assert(fast == dist, s"cap=$cap: fast ${fast.size} vs dist ${dist.size}\n" +
+        s"only-fast=${fast.diff(dist)}\nonly-dist=${dist.diff(fast)}")
+    }
+  }
+
   test("eccentricity stats: per-component diameter/radius on a hand graph") {
     // component A: star 1-(2,3,4) -> radius 1 (center), diameter 2
     // component B: path 10-11-12 -> radius 1, diameter 2
