@@ -153,7 +153,10 @@ object Subgraphs {
     if (driverThreshold > 0 &&
         edges.limit(driverThreshold.toInt).count() < driverThreshold &&
         candidates.limit(driverThreshold.toInt).count() < driverThreshold) {
+      // null endpoints dropped explicitly — the distributed path drops
+      // them via join misses, and Row.getLong would NPE
       val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+        .filter(col("src").isNotNull && col("dst").isNotNull)
         .collect().map(r => (r.getLong(0), r.getLong(1)))
       val adjAll: Map[Long, Array[Long]] = e.groupBy(_._1)
         .map { case (k, v) => k -> v.map(_._2) }
@@ -185,11 +188,17 @@ object Subgraphs {
           visited ++= next
         }
         // marker row first, exactly as the distributed unionAll does
-        // (guarantees fullDeg carries the head even for empty beams)
+        // (guarantees fullDeg carries the head even for empty beams).
+        // Induced edges enumerate the VISITED set's adjacency lists —
+        // O(sum deg(visited)) per candidate, already bounded by the
+        // capped BFS — never a full edge-array scan per candidate
+        // (which would be O(candidates x edges) at the threshold).
         val induced = Iterator((head, head, degAll.getOrElse(head, 0))) ++
-          e.iterator
-            .filter(r => visited(r._1) && visited(r._2))
-            .map(r => (r._1, r._2, degAll.getOrElse(r._1, 0)))
+          visited.iterator.flatMap { u =>
+            adjAll.getOrElse(u, Array.empty[Long]).iterator
+              .filter(visited)
+              .map(v => (u, v, degAll.getOrElse(u, 0)))
+          }
         communityLabelBeam(eid, head, tail, induced, totalVol, h)
       }.toSeq
       return spark.createDataset(out).toDF()

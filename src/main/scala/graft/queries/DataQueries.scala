@@ -164,24 +164,30 @@ object DataQueries {
       // Content-defined chunking via a rolling window hash (the
       // dedup-friendly fingerprint form: chunk boundaries move with
       // content, not offsets). Window = 8 chars, H(i) = sum_j
-      // ascii(c_{i+j}) * 31^(7-j) — max 127 * sum(31^j) < 2^42, so the
-      // arithmetic stays in exact BIGINT range with NO modular step and
-      // is bit-identical across engines; boundary where H % 64 == 0.
+      // codepoint(c_{i+j}) * 31^(7-j), codepoints from a once-split char
+      // array (substr-per-window would rescan the string O(n^2));
+      // weights by exact iterated multiplication (math.pow is only
+      // 1-ulp-accurate by spec). ASCII fixture codepoints keep the sum
+      // far below 2^63, so the arithmetic is exact BIGINT with NO
+      // modular step — Spark ascii == DuckDB ord (both codePointAt(0)),
+      // both sides CHARACTER-indexed (length(), not strlen) — hence
+      // bit-identical across engines; boundary where H % 64 == 0.
       // Emits per doc: window count, boundary count, and the first
       // boundary positions (the chunk grid a CDC dedup would key on).
       (s, d) => {
         val w = 8
-        val pow = (0 until w).map(j => math.pow(31, w - 1 - j).toLong)
+        val pow = (0 until w).map(j => (0 until (w - 1 - j)).foldLeft(1L)((a, _) => a * 31L))
         table(s, d, "documents")
           .withColumn("n", length(col("text")))
           .filter(col("n") >= w)
+          .withColumn("cp", transform(split(col("text"), ""), c => ascii(c).cast("long")))
           .withColumn("bounds",
             filter(
               transform(sequence(lit(1), col("n") - (w - 1)), i =>
                 struct(i.as("i"),
                   (0 until w).map(j =>
-                    ascii(col("text").substr(i + lit(j), lit(1))).cast("long") *
-                      lit(pow(j))).reduce(_ + _).as("h"))),
+                    element_at(col("cp"), i + lit(j)) * lit(pow(j)))
+                    .reduce(_ + _).as("h"))),
               x => pmod(x("h"), lit(64L)) === 0))
           .select(col("doc_id"),
             (col("n") - (w - 1)).as("n_windows"),
@@ -189,8 +195,8 @@ object DataQueries {
             concat_ws(",", transform(slice(col("bounds"), 1, 6),
               x => x("i").cast("string"))).as("head_boundaries"))
       },
-      Some("""WITH d AS (SELECT doc_id, text, strlen(text) AS n FROM documents
-             |           WHERE strlen(text) >= 8),
+      Some("""WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents
+             |           WHERE length(text) >= 8),
              |b AS (SELECT doc_id, n,
              |  list_filter(
              |    list_transform(range(1, n - 6),
