@@ -104,12 +104,24 @@ object Bench {
     // (4 independent 8-core JVMs over quarters vs one 8-core JVM over
     // the full input isolates shared-JVM/GC effects from shared-DRAM)
     val bucketRange = sys.env.get("SPARK_GRAFT_BUCKETS").map { r =>
-      val Array(lo, hi) = r.split("-").map(_.toInt); (lo, hi)
+      r.split("-").map(_.trim) match {
+        case Array(loS, hiS) if loS.forall(_.isDigit) && hiS.forall(_.isDigit) =>
+          val (lo, hi) = (loS.toInt, hiS.toInt)
+          require(lo >= 0 && lo <= hi && hi <= 15,
+            s"SPARK_GRAFT_BUCKETS '$r' out of range: need 0 <= lo <= hi <= 15")
+          (lo, hi)
+        case _ => sys.error(
+          s"SPARK_GRAFT_BUCKETS '$r' malformed: expected 'lo-hi' like '0-3'")
+      }
     }
     val pagesAll = spark.read.parquet(s"$inDir/pages")
     val pagesSel = bucketRange match {
       case Some((lo, hi)) => pagesAll.filter(col("bucket").between(lo, hi))
       case None => pagesAll
+    }
+    bucketRange.foreach { case (lo, hi) =>
+      require(pagesSel.limit(1).count() > 0,
+        s"SPARK_GRAFT_BUCKETS $lo-$hi selected zero pages")
     }
     val inputs = graft.pipeline.KgInputs(
       pages = pagesSel.drop("bucket"),
@@ -150,7 +162,22 @@ object Bench {
         s""""kept_triples":$kept,"wall_sec":$kgWall,"triples_per_sec":$tps,"cpus":$cpus,""" +
         s""""stages":$stagesJson}"""
 
-    println(s"""{"metric":"total","value":${total + kgWall},"unit":"sec","queries":$qs,"sf":"$sfDir","kg":$kgJson}""")
+    val json =
+      s"""{"metric":"total","value":${total + kgWall},"unit":"sec","queries":$qs,"sf":"$sfDir","kg":$kgJson}"""
+    println(json)
+    // Also persist to a file: the harness captures only a stdout tail, so
+    // long per-query maps were truncated out of the round record
+    // (BENCH_r03.json "parsed": null). A whole-file copy survives.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "/root/repo/BENCH/last_bench.json")
+    try {
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(outPath).getParent)
+      java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+        (json + "\n").getBytes("UTF-8"))
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

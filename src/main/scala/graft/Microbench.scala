@@ -74,11 +74,20 @@ object Microbench {
       graft.dedup.PageDedup.droppedUrls(pages, "exact").count())
 
     // scored stage in isolation: linked assertions pre-materialized to
-    // tmpfs parquet so extraction cost can't leak into the measurement
-    // cache keyed by the input dir: a _SUCCESS-only check reused stale
-    // linked rows across scale/fixture changes, corrupting measurements
+    // tmpfs parquet so extraction cost can't leak into the measurement.
+    // Cache keyed by (full path, input _SUCCESS mtime): a path-only key
+    // reused stale linked rows after a fixture was REGENERATED at the
+    // same path — the exact measurement-corruption class this cache
+    // exists to prevent.
+    val successMtime = {
+      val p = java.nio.file.Paths.get(s"$pagesDir/_SUCCESS")
+      if (java.nio.file.Files.exists(p))
+        java.nio.file.Files.getLastModifiedTime(p).toMillis
+      else 0L
+    }
     val inputKey = java.lang.Long.toHexString(
-      graft.core.Ids.mix64(pagesDir.hashCode.toLong))
+      graft.core.Ids.mix64(
+        graft.core.Ids.mix64(pagesDir.hashCode.toLong) ^ successMtime))
     val linkedDir = s"/dev/shm/graft-micro-linked-$inputKey"
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$linkedDir/_SUCCESS"))) {
       graft.link.EntityLink.link(

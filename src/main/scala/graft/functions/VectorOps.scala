@@ -26,6 +26,9 @@ object VectorOps {
   /** cosine(a, b) = dot / (||a|| * ||b||), left-to-right accumulation —
     * the same operation order as the HOF form
     * `aggregate(zip_with(a, b, _*_), 0.0, _+_) / (sqrt(...)*sqrt(...))`.
+    * Sole deliberate divergence from the HOF form: a zero-norm operand
+    * yields 0.0 instead of NaN (NaN sorts first under desc order and
+    * would displace real neighbors in rank windows).
     */
   def cosine(a: Column, b: Column): Column =
     org.apache.spark.sql.GraftExpressionBridge.column(
@@ -98,7 +101,9 @@ case class CentroidRanks(child: Expression, centroids: Array[Array[Double]])
       var dot = 0.0
       i = 0
       while (i < n) { dot += va(i) * cv(i); i += 1 }
-      cos(c) = dot / (vn * cNorms(c))
+      // zero-norm guard (see CosineSim): 0.0 instead of NaN so a
+      // degenerate vector/centroid ranks last, not first
+      cos(c) = if (vn == 0.0 || cNorms(c) == 0.0) 0.0 else dot / (vn * cNorms(c))
       c += 1
     }
     // ranked cids: cos desc, cid asc (stable sortBy on ascending key)
@@ -138,7 +143,10 @@ case class CosineSim(left: Expression, right: Expression)
     var nb = 0.0
     i = 0
     while (i < y.numElements()) { val v = y.getDouble(i); nb += v * v; i += 1 }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    // zero-norm guard: NaN sorts FIRST under desc in Spark, so an
+    // unguarded 0/0 would displace real neighbors in top-k windows
+    if (na == 0.0 || nb == 0.0) 0.0
+    else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
   override protected def withNewChildrenInternal(

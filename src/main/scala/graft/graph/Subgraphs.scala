@@ -232,9 +232,14 @@ object Subgraphs {
     }
 
     // full-graph degree per node + total volume (symmetric edge list:
-    // out-degree == degree, row count == volume) — the sweep needs both
-    val degrees = edges.groupBy(col("src")).agg(count(lit(1)).as("__deg"))
-    val totalVol = edges.count().toDouble
+    // out-degree == degree, row count == volume) — the sweep needs both.
+    // Null endpoints are excluded here exactly as the driver fast path
+    // excludes them, so the PPR sweep-cut normalization (totalVol) is
+    // identical on both paths even for inputs with null rows.
+    val cleanEdges = edges
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+    val degrees = cleanEdges.groupBy(col("src")).agg(count(lit(1)).as("__deg"))
+    val totalVol = cleanEdges.count().toDouble
 
     // 2. induced edges per candidate (both endpoints in the beam)
     val n1 = visited.select(col("edge_id"), col("node").as("__s"))

@@ -51,6 +51,36 @@ object DataQueries {
   private def kgeRe(v: String, i: Column) = element_at(col(v), i)
   private def kgeIm(v: String, i: Column) = element_at(col(v), i + 32)
 
+  /** Pair-level ANN semi-oracle (q49/q69): DuckDB reads the emitted
+    * (qid, nn_id) pairs back from the Verify output parquet
+    * (`__SPARK_OUT__` is spliced to the absolute out dir by
+    * [[graft.Verify]] at dump time), recomputes each pair's EXACT cosine
+    * from the embeddings table (same operation order as the native
+    * CosineSim, incl. its zero-norm -> 0.0 guard) and re-derives the
+    * per-qid rank. The approximate candidate selection is taken as given
+    * — but any wrong cosine, wrong ordering, duplicate pair, or pair
+    * referencing a nonexistent vector breaks the rows/hash compare.
+    */
+  private def annPairOracle(name: String): String =
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |          FROM embeddings),
+       |pairs AS (SELECT qid, nn_id
+       |          FROM read_parquet('__SPARK_OUT__/$name/*.parquet')),
+       |scored AS (SELECT p.qid, p.nn_id,
+       |  CASE WHEN list_sum(list_transform(q.v, x -> x*x)) = 0
+       |         OR list_sum(list_transform(c.v, x -> x*x)) = 0 THEN 0.0
+       |       ELSE round(
+       |         list_sum(list_transform(range(len(q.v)), i -> q.v[i+1] * c.v[i+1]))
+       |         / (sqrt(list_sum(list_transform(q.v, x -> x*x)))
+       |            * sqrt(list_sum(list_transform(c.v, x -> x*x)))), 6) END AS cos
+       |  FROM pairs p
+       |  JOIN e q ON q.vec_id = p.qid
+       |  JOIN e c ON c.vec_id = p.nn_id)
+       |SELECT qid, nn_id, cos,
+       |       CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nn_id)
+       |            AS INTEGER) AS rn
+       |FROM scored""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
 
     // ------------------------------------------- string / scalar (§2.8)
@@ -542,23 +572,35 @@ object DataQueries {
 
     QueryDef("q49_ann_lsh_topk",
       // LSH-bucketed approximate top-3 neighbors (scale path for q42's
-      // brute force). No SQL oracle (approximate op); AnnSpec checks
-      // determinism + recall against the exact baseline.
+      // brute force). Pair-level semi-oracle: the approximate CANDIDATE
+      // SELECTION stays unoracled (AnnSpec checks determinism + recall
+      // vs the exact baseline), but the deterministic rerank math is
+      // fully checked — the oracle reads the emitted (qid, nn_id) pairs
+      // back from the Verify output (__SPARK_OUT__ spliced by Verify),
+      // recomputes each pair's exact cosine from the embeddings table,
+      // and re-derives the per-qid rank; rows+schema+hash must match.
       (s, d) => {
         val emb = table(s, d, "embeddings")
           .select(col("vec_id").as("id"),
             transform(col("embedding"), _.cast("double")).as("v"))
         val queries = emb.filter(col("id") < 20)
           .select(col("id").as("qid"), col("v").as("qv"))
+        // emit oracle-comparable values: cosine at the 6dp cross-engine
+        // contract, rank re-derived over the EMITTED pairs on the
+        // rounded value (the internal top-k window ranked raw doubles)
         graft.similarity.Ann.lshTopK(emb, queries, 3)
+          .withColumn("cos", round(col("cos"), 6))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("qid").orderBy(col("cos").desc, col("nn_id"))))
       },
-      None),
+      Some(annPairOracle("q49_ann_lsh_topk"))),
 
     QueryDef("q69_ann_ivf_topk",
       // IVF approximate top-3: deterministic hash-seeded k-means coarse
       // quantizer, nprobe=4 inverted-list probe, exact cosine rerank —
-      // the second ANN scale path beside q49's LSH. No SQL oracle
-      // (approximate op); AnnSpec checks determinism + recall vs brute.
+      // the second ANN scale path beside q49's LSH. Same pair-level
+      // semi-oracle as q49: selection unoracled (AnnSpec), rerank math
+      // hash-checked against a DuckDB recomputation of the emitted pairs.
       (s, d) => {
         val emb = table(s, d, "embeddings")
           .select(col("vec_id").as("id"),
@@ -566,8 +608,11 @@ object DataQueries {
         val queries = emb.filter(col("id") < 20)
           .select(col("id").as("qid"), col("v").as("qv"))
         graft.similarity.Ann.ivfTopK(emb, queries, 3)
+          .withColumn("cos", round(col("cos"), 6))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("qid").orderBy(col("cos").desc, col("nn_id"))))
       },
-      None),
+      Some(annPairOracle("q69_ann_ivf_topk"))),
 
     // ------------------------------------------------ time windows
     QueryDef("q44_tumbling_window",

@@ -39,7 +39,10 @@ class AnnSpec extends AnyFunSuite {
       .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nn_id"))).toSet
     val recall = (brute intersect lsh).size.toDouble / brute.size
     info(f"recall@3 = $recall%.2f (lsh pairs=${lsh.size}, brute=${brute.size})")
-    assert(recall >= 0.1, f"recall collapsed: $recall%.2f")
+    // floor pinned at ~75% of the measured fixture recall (0.33, fully
+    // deterministic: hash-seeded planes, no rand) — a broken index
+    // fails loudly instead of slipping under a vacuous 0.1 bar
+    assert(recall >= 0.25, f"recall collapsed: $recall%.2f (fixture measures 0.33)")
   }
 
   test("IVF top-k: deterministic, valid shape, recall beats random") {
@@ -58,7 +61,8 @@ class AnnSpec extends AnyFunSuite {
     val ivf = a.map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nn_id"))).toSet
     val recall = (brute intersect ivf).size.toDouble / brute.size
     info(f"IVF recall@3 = $recall%.2f (ivf pairs=${ivf.size}, brute=${brute.size})")
-    assert(recall >= 0.1, f"recall collapsed: $recall%.2f")
+    // pinned to ~75% of the measured deterministic fixture recall (0.67)
+    assert(recall >= 0.5, f"recall collapsed: $recall%.2f (fixture measures 0.67)")
   }
 
   test("IVF index: every vector assigned to its true max-cosine centroid") {
@@ -74,6 +78,23 @@ class AnnSpec extends AnyFunSuite {
       val best = centroids.indices.minBy(c => (-cos(v, centroids(c)), c))
       assert(cid == best, s"id=$id assigned $cid, true argmax $best")
     }
+  }
+
+  test("zero-norm vectors score 0.0 and rank last, never NaN-first") {
+    val corpus = Seq(
+      (1L, Seq(0.0, 0.0)), (2L, Seq(1.0, 0.0)), (3L, Seq(0.6, 0.8)))
+      .toDF("id", "v")
+    val q = Seq((10L, Seq(1.0, 0.0))).toDF("qid", "qv")
+    val rows = Ann.bruteTopK(corpus, q, 3).collect()
+      .sortBy(_.getAs[Int]("rn"))
+    // NaN would sort FIRST under desc; the guard emits 0.0 so the
+    // degenerate vector lands last
+    assert(rows.map(_.getAs[Long]("nn_id")).toSeq == Seq(2L, 3L, 1L))
+    assert(rows.last.getAs[Double]("cos") == 0.0)
+    // zero-norm QUERY: all cosines 0.0, no NaN anywhere
+    val qz = Seq((11L, Seq(0.0, 0.0))).toDF("qid", "qv")
+    val zr = Ann.bruteTopK(corpus, qz, 3).collect()
+    assert(zr.forall(r => r.getAs[Double]("cos") == 0.0))
   }
 
   test("brute-force agrees with the q42 driver query on overlap") {
