@@ -640,6 +640,34 @@ object DataQueries {
              |  count(DISTINCT event_type) AS n_types
              |FROM events GROUP BY user_id""".stripMargin)),
 
+    QueryDef("q76_gap_sessions",
+      // TRUE gap sessionization (q45 is per-user lifetime stats): native
+      // session_window, 8h gap — a new session starts when the
+      // inter-event gap reaches the threshold, s_end = last event + gap.
+      // Streaming forms (same semantics) proven equal in StreamingSpec.
+      (s, d) => graft.streaming.Sessions.gapSessions(
+        table(s, d, "events"), "8 hours"),
+      // oracle: lag + cumulative-sum session ids (deterministic; no
+      // (user_id, ts) duplicates in the fixture so ORDER BY ts is total)
+      Some("""WITH o AS (
+             |  SELECT user_id, ts, event_type, value,
+             |    CASE WHEN epoch(ts) - lag(epoch(ts)) OVER
+             |           (PARTITION BY user_id ORDER BY ts) >= 28800
+             |         THEN 1 ELSE 0 END AS brk
+             |  FROM events),
+             |s AS (
+             |  SELECT *, sum(brk) OVER
+             |    (PARTITION BY user_id ORDER BY ts
+             |     ROWS UNBOUNDED PRECEDING) AS sid
+             |  FROM o)
+             |SELECT user_id,
+             |  CAST(floor(epoch(min(ts))) AS BIGINT) AS s_start,
+             |  CAST(floor(epoch(max(ts))) AS BIGINT) + 28800 AS s_end,
+             |  count(*) AS n_events,
+             |  count(DISTINCT event_type) AS n_types,
+             |  round(sum(value), 4) AS total
+             |FROM s GROUP BY user_id, sid""".stripMargin)),
+
     QueryDef("q50_blend",
       // linear score ensembling (ensembling/blend.py:40-52)
       (s, d) => {

@@ -91,6 +91,96 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  /** Stage events as 2 time-ordered micro-batch files (sessions straddle
+    * the boundary) + a far-future sentinel that advances the watermark
+    * past every real session's end so they all finalize. Returns the
+    * watched dir; feed with maxFilesPerTrigger=1.
+    */
+  private def stagedSessionFeed(): (String, org.apache.spark.sql.DataFrame) = {
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+    val cut = ev.selectExpr("percentile(cast(ts as double), 0.5)").first().getDouble(0)
+    val maxTs = ev.selectExpr("max(cast(ts as double))").first().getDouble(0)
+    val sentinel = spark.range(1).select(
+      lit(-1L).as("event_id"),
+      lit(maxTs + 30 * 86400).cast("timestamp").as("ts"),
+      lit(-1L).as("user_id"), lit("flush").as("event_type"),
+      lit(0.0).as("value"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-sess")
+    def stage(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-sess-batch")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp)
+        .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+      java.nio.file.Files.move(part, dir.resolve(name))
+    }
+    stage("b1.parquet", ev.filter(col("ts").cast("double") <= cut))
+    stage("b2.parquet", ev.filter(col("ts").cast("double") > cut))
+    stage("b3.parquet", sentinel)
+    (dir.toString, ev)
+  }
+
+  /** (user, s_start, s_end, n_events, n_types) -> total, sentinel user
+    * excluded — the comparison key for both session equality tests.
+    */
+  private def sessionMap(df: org.apache.spark.sql.DataFrame)
+      : Map[(Long, Long, Long, Long, Long), Double] =
+    df.filter(col("user_id") =!= -1L)
+      .select(col("user_id"), col("s_start"), col("s_end"),
+        col("n_events").cast("long"), col("n_types").cast("long"), col("total"))
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+      .map(t => (t._1, t._2, t._3, t._4, t._5) -> t._6).toMap
+
+  private def assertSessionsEqual(
+      got: Map[(Long, Long, Long, Long, Long), Double],
+      want: Map[(Long, Long, Long, Long, Long), Double]): Unit = {
+    assert(got.nonEmpty && got.keySet == want.keySet,
+      s"session keys differ: stream ${got.size} vs batch ${want.size}; " +
+        s"only-stream=${(got.keySet -- want.keySet).take(3)} " +
+        s"only-batch=${(want.keySet -- got.keySet).take(3)}")
+    // totals: stream accumulates in arrival order, batch in partition
+    // order — compare at 1e-6, not bit-exact
+    got.foreach { case (k, v) => assert(math.abs(v - want(k)) < 1e-6, s"$k") }
+  }
+
+  test("streaming session_window gap sessions equal the batch run") {
+    import graft.streaming.Sessions
+    val (dir, ev) = stagedSessionFeed()
+    val schema = ev.schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val q = Sessions.gapSessionsStream(stream, "8 hours", "1 hour")
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("gap_sess_out")
+      .start()
+    try {
+      q.processAllAvailable()
+      assertSessionsEqual(
+        sessionMap(spark.table("gap_sess_out")),
+        sessionMap(Sessions.gapSessions(ev, "8 hours")))
+    } finally q.stop()
+  }
+
+  test("stateful event-time-timeout gap sessions equal the batch run") {
+    import graft.streaming.Sessions
+    val (dir, ev) = stagedSessionFeed()
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+      .withWatermark("ts", "1 hour")
+      .as[StreamOps.Event]
+    val q = Sessions.gapSessionsState(stream)
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("gap_state_out")
+      .start()
+    try {
+      q.processAllAvailable()
+      assertSessionsEqual(
+        sessionMap(spark.table("gap_state_out").toDF()),
+        sessionMap(Sessions.gapSessions(ev, "8 hours")))
+    } finally q.stop()
+  }
+
   test("streaming dedup keeps first-seen per fingerprint across micro-batches") {
     val dir = java.nio.file.Files.createTempDirectory("graft-stream-dedup")
     // the file source lists leaf files: write each batch elsewhere, then
