@@ -68,21 +68,28 @@ object Sampling {
     * (the reference scores it alone in the block): the final left join
     * emits rnk=1, block_size=1 for it, so n_blocks == 2 * nTest always.
     *
-    * DOCUMENTED DEVIATION: when between 1 and blockSize-2 distinct
-    * attempts survive rejection, the block is emitted UNDER-FILLED
-    * (block_size < blockSize) rather than looping until full as the
-    * reference's while-loop does (test_ranking.py) — bounded attempts
-    * keep the op a fixed number of narrow passes. Under-filled blocks
-    * make ranks (and so Hits@k/MRR) easier than the reference protocol
-    * on graphs where the viable corruption pool is small relative to
-    * rejections; raise `attemptFactor` there, and compare block_size
-    * against blockSize when protocol fidelity matters.
+    * Under-filled blocks regenerate their deficit (the reference's
+    * while-loop discipline, test_ranking.py, bounded like
+    * [[negativeSample]]'s loop-until-count): after the first
+    * `attemptFactor * (blockSize-1)` attempts, blocks still short of
+    * blockSize-1 survivors get additional attempt ranges
+    * [r*nAtt, (r+1)*nAtt) for up to `fillRounds` rounds — ONLY the
+    * deficient blocks pay for extra rounds. Because picks are the first
+    * blockSize-1 survivors in ascending attempt order and dedup keeps
+    * the earliest attempt per entity, the adaptive loop's fixpoint is
+    * row-identical to a one-shot run over the full
+    * `fillRounds * nAtt` attempt budget (PruneSpec asserts this with
+    * attemptFactor=1 x 4 rounds == attemptFactor=4 x 1 round), which is
+    * exactly what the DuckDB oracle evaluates. A block whose viable
+    * pool is genuinely smaller than blockSize-1 still emits under-filled
+    * after `fillRounds` (compare block_size when protocol fidelity
+    * matters).
     *
     * Returns one row per (test edge, side): (s, p, o, side, rnk,
     * block_size).
     */
   def rankingBlocks(edges: DataFrame, nTest: Int, blockSize: Int = 50,
-      attemptFactor: Int = 4): DataFrame = {
+      attemptFactor: Int = 4, fillRounds: Int = 4): DataFrame = {
     val t = edges.select("subject", "predicate", "object").distinct()
     val test = t
       .orderBy(md5(concat_ws("|",
@@ -96,28 +103,62 @@ object Sampling {
     val sides = test.select(col("s"), col("p"), col("o"),
       explode(array(lit("head"), lit("tail"))).as("side"))
     val nAtt = attemptFactor * (blockSize - 1)
-    val att = sides
-      .select(col("s"), col("p"), col("o"), col("side"),
-        explode(sequence(lit(0), lit(nAtt - 1))).as("__a"))
-      .crossJoin(nEnt) // 1-row count
-      .withColumn("__idx", expr(
-        """CAST(conv(substring(
-          |  md5(concat_ws('|', s, p, o, side, __a, 'idx57')), 1, 12),
-          |  16, 10) AS BIGINT) % __n_ent + 1""".stripMargin))
-    val cand = att.join(dict, Seq("__idx"))
-      .filter(col("e") =!= col("s") && col("e") =!= col("o"))
-      .withColumn("cs", when(col("side") === "head", col("s")).otherwise(col("e")))
-      .withColumn("co", when(col("side") === "head", col("e")).otherwise(col("o")))
-    val filt = cand.join(
-      t.select(col("subject").as("cs"), col("predicate").as("p"),
-        col("object").as("co")),
-      Seq("cs", "p", "co"), "left_anti")
-    // one pick per distinct entity per block (earliest attempt wins),
-    // then the first blockSize-1 picks in attempt order
-    val ded = filt.withColumn("__rd", row_number().over(
-        Window.partitionBy("s", "p", "o", "side", "e").orderBy(col("__a"))))
-      .filter(col("__rd") === 1)
-    val picked = ded.withColumn("__rn", row_number().over(
+    val sideKeys = Seq("s", "p", "o", "side")
+    def attempts(forSides: DataFrame, lo: Int, hi: Int): DataFrame =
+      forSides
+        .select(col("s"), col("p"), col("o"), col("side"),
+          explode(sequence(lit(lo), lit(hi - 1))).as("__a"))
+        .crossJoin(nEnt) // 1-row count
+        .withColumn("__idx", expr(
+          """CAST(conv(substring(
+            |  md5(concat_ws('|', s, p, o, side, __a, 'idx57')), 1, 12),
+            |  16, 10) AS BIGINT) % __n_ent + 1""".stripMargin))
+    // hash-pick -> self-loop / true-entity / existing-edge rejection
+    def survivors(att: DataFrame): DataFrame = {
+      val cand = att.join(dict, Seq("__idx"))
+        .filter(col("e") =!= col("s") && col("e") =!= col("o"))
+        .withColumn("cs", when(col("side") === "head", col("s")).otherwise(col("e")))
+        .withColumn("co", when(col("side") === "head", col("e")).otherwise(col("o")))
+      cand.join(
+        t.select(col("subject").as("cs"), col("predicate").as("p"),
+          col("object").as("co")),
+        Seq("cs", "p", "co"), "left_anti")
+    }
+    // one pick per distinct entity per block, earliest attempt wins
+    def dedupe(surv: DataFrame): DataFrame =
+      surv.withColumn("__rd", row_number().over(
+          Window.partitionBy("s", "p", "o", "side", "e").orderBy(col("__a"))))
+        .filter(col("__rd") === 1)
+        .drop("__rd")
+
+    // round 0 + bounded deficit regeneration: blocks short of
+    // blockSize-1 survivors draw the NEXT attempt range; full blocks are
+    // untouched (their first-blockSize-1-by-__a picks are stable under
+    // attempt extension, so the loop == one-shot fillRounds*nAtt budget)
+    var surv = dedupe(survivors(attempts(sides, 0, nAtt)))
+      .localCheckpoint(true)
+    var r = 1
+    while (r < fillRounds) {
+      val fullSides = surv.groupBy(sideKeys.map(col): _*)
+        .agg(count(lit(1)).as("__c"))
+        .filter(col("__c") >= blockSize - 1)
+        .select(sideKeys.map(col): _*)
+      val deficient = sides.join(fullSides, sideKeys, "left_anti")
+      if (deficient.limit(1).count() == 0) {
+        r = fillRounds
+      } else {
+        val extra = dedupe(survivors(attempts(deficient, r * nAtt, (r + 1) * nAtt)))
+        val defSurv = surv.join(fullSides, sideKeys, "left_anti")
+        val fullSurv = surv.join(fullSides, sideKeys, "left_semi")
+        // merge old + new survivors of deficient blocks and re-dedupe:
+        // an entity drawn again in a later round keeps its earliest __a
+        surv = fullSurv
+          .unionByName(dedupe(defSurv.unionByName(extra)))
+          .localCheckpoint(true)
+        r += 1
+      }
+    }
+    val picked = surv.withColumn("__rn", row_number().over(
         Window.partitionBy("s", "p", "o", "side").orderBy(col("__a"))))
       .filter(col("__rn") <= blockSize - 1)
     def scoreKey(a: Column, b: Column, c: Column): Column =

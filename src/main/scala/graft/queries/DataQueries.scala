@@ -249,6 +249,82 @@ object DataQueries {
              |    AS head_boundaries
              |FROM b""".stripMargin)),
 
+    QueryDef("q77_cdc_chunk_dedup",
+      // CROSS-DOCUMENT chunk dedup — the operator q75's boundary grid
+      // exists for: cut each doc at its content-defined boundaries,
+      // hash each chunk, and key dedup on the chunk hash across docs
+      // (boundaries move with content, so shared runs between
+      // near-duplicate docs produce identical chunks even at different
+      // offsets). Per shared chunk (>= 2 distinct docs): doc count,
+      // occurrence count, keeper (min doc_id), chunk length.
+      // Scale shape: chunking is narrow per-row; the only shuffle is
+      // the groupBy on (chash) over small (hash, len) rows — document
+      // text never shuffles.
+      (s, d) => {
+        val w = 8
+        val pow = (0 until w).map(j =>
+          (0 until (w - 1 - j)).foldLeft(1L)((a, _) => a * 31L))
+        table(s, d, "documents")
+          .withColumn("n", length(col("text")))
+          .filter(col("n") >= w)
+          .withColumn("cp", transform(split(col("text"), ""), c => ascii(c).cast("long")))
+          .withColumn("bpos",
+            filter(
+              transform(sequence(lit(1), col("n") - (w - 1)), i =>
+                struct(i.as("i"),
+                  (0 until w).map(j =>
+                    element_at(col("cp"), i + lit(j)) * lit(pow(j)))
+                    .reduce(_ + _).as("h"))),
+              x => pmod(x("h"), lit(64L)) === 0))
+          // cut points: [1] ++ boundary positions ++ [n+1] -> chunk k is
+          // text[cuts(k) until cuts(k+1))
+          .withColumn("cuts", concat(array(lit(1)),
+            transform(col("bpos"), x => x("i")), array(col("n") + 1)))
+          .withColumn("chunk", explode(
+            transform(sequence(lit(1), size(col("cuts")) - 1), k =>
+              col("text").substr(element_at(col("cuts"), k),
+                element_at(col("cuts"), k + 1) - element_at(col("cuts"), k)))))
+          .filter(length(col("chunk")) > 0)
+          .select(col("doc_id"), md5(col("chunk")).as("chash"),
+            length(col("chunk")).as("clen"))
+          .groupBy("chash")
+          .agg(countDistinct("doc_id").as("n_docs"),
+            count(lit(1)).as("n_occ"),
+            min("doc_id").as("keeper_doc"),
+            min("clen").as("chunk_len"))
+          .filter(col("n_docs") >= 2)
+      },
+      Some("""WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents
+             |           WHERE length(text) >= 8),
+             |b AS (SELECT doc_id, text, n,
+             |  list_filter(
+             |    list_transform(range(1, n - 6),
+             |      i -> {'i': i, 'h':
+             |        ord(substring(text, CAST(i AS INTEGER), 1)) * CAST(27512614111 AS BIGINT)
+             |      + ord(substring(text, CAST(i + 1 AS INTEGER), 1)) * CAST(887503681 AS BIGINT)
+             |      + ord(substring(text, CAST(i + 2 AS INTEGER), 1)) * CAST(28629151 AS BIGINT)
+             |      + ord(substring(text, CAST(i + 3 AS INTEGER), 1)) * CAST(923521 AS BIGINT)
+             |      + ord(substring(text, CAST(i + 4 AS INTEGER), 1)) * CAST(29791 AS BIGINT)
+             |      + ord(substring(text, CAST(i + 5 AS INTEGER), 1)) * CAST(961 AS BIGINT)
+             |      + ord(substring(text, CAST(i + 6 AS INTEGER), 1)) * CAST(31 AS BIGINT)
+             |      + CAST(ord(substring(text, CAST(i + 7 AS INTEGER), 1)) AS BIGINT)}),
+             |    x -> x.h % 64 = 0) AS bounds
+             |  FROM d),
+             |cuts AS (SELECT doc_id, text,
+             |  list_concat(list_concat([CAST(1 AS BIGINT)],
+             |    list_transform(bounds, x -> x.i)), [CAST(n + 1 AS BIGINT)]) AS c
+             |  FROM b),
+             |chunks AS (
+             |  SELECT doc_id, unnest(list_transform(range(1, len(c)), k ->
+             |    substring(text, CAST(c[CAST(k AS INTEGER)] AS INTEGER),
+             |      CAST(c[CAST(k AS INTEGER)+1] - c[CAST(k AS INTEGER)] AS INTEGER)))) AS ch
+             |  FROM cuts),
+             |h AS (SELECT doc_id, md5(ch) AS chash, length(ch) AS clen
+             |      FROM chunks WHERE length(ch) > 0)
+             |SELECT chash, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ,
+             |       min(doc_id) AS keeper_doc, min(clen) AS chunk_len
+             |FROM h GROUP BY chash HAVING count(DISTINCT doc_id) >= 2""".stripMargin)),
+
     QueryDef("q36_quality_score",
       // quality: stopword ratio, mean token length, length prior
       (s, d) => table(s, d, "documents")

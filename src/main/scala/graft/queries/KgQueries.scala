@@ -402,7 +402,9 @@ object KgQueries {
       // feeding MRR / Hits@k (compute_rank_metrics.py:8-51): 100 test
       // edges, 49 hash-indexed dictionary picks per side (attempt order,
       // rejects dropped — the negativeSample discipline, never a full-
-      // entity pass), rank of the true edge per block, exact-integer
+      // entity pass; under-filled blocks regenerate their deficit for up
+      // to 4 bounded rounds, oracle = the equivalent one-shot 784-attempt
+      // budget), rank of the true edge per block, exact-integer
       // metrics (mrr_micro = floor-average of floor(1e6/rank)). Blocks
       // with every attempt rejected rank the true edge alone (rnk=1).
       (s, d) => graft.prune.Sampling.rankingBlocks(triples(s, d), nTest = 100)
@@ -428,7 +430,7 @@ object KgQueries {
               |    CAST('0x' || substring(md5(s || '|' || p || '|' || o || '|' || side
               |      || '|' || CAST(a AS VARCHAR) || '|' || 'idx57'), 1, 12) AS BIGINT)
               |      % n_ent + 1 AS idx
-              |  FROM sides, (SELECT unnest(range(196)) AS a) aa, n),
+              |  FROM sides, (SELECT unnest(range(784)) AS a) aa, n),
               |cand AS (SELECT att.s, att.p, att.o, att.side, att.a, d.e,
               |    CASE WHEN att.side = 'head' THEN att.s ELSE d.e END AS cs,
               |    CASE WHEN att.side = 'head' THEN d.e ELSE att.o END AS co

@@ -213,6 +213,25 @@ class PruneSpec extends AnyFunSuite {
     assert(rows.map(_.toString).sorted.toSeq == again.map(_.toString).sorted.toSeq)
   }
 
+  test("ranking deficit regeneration: attemptFactor=1 fills via rounds") {
+    // 32 entities / blockSize 10: one 9-attempt round under-fills after
+    // rejection; the bounded fill rounds must close the deficit
+    val edges = (0 until 64).map(i =>
+      (s"s${i % 16}", s"p${i % 2}", s"o${i % 16 + 16}")).toDF("subject", "predicate", "object")
+    val lowAtt = graft.prune.Sampling.rankingBlocks(
+      edges, nTest = 8, blockSize = 10, attemptFactor = 1, fillRounds = 4)
+      .collect()
+    assert(lowAtt.forall(_.getAs[Long]("block_size") == 10L),
+      s"under-filled blocks remain: ${lowAtt.map(_.getAs[Long]("block_size")).mkString(",")}")
+    // adaptive rounds == one-shot over the same total attempt budget
+    // (1x4 rounds vs 4x1 round, both 36 attempts): row-identical, so
+    // the DuckDB oracle's one-shot form stays the Spark semantics
+    val oneShot = graft.prune.Sampling.rankingBlocks(
+      edges, nTest = 8, blockSize = 10, attemptFactor = 4, fillRounds = 1)
+      .collect()
+    assert(lowAtt.map(_.toString).sorted.toSeq == oneShot.map(_.toString).sorted.toSeq)
+  }
+
   test("leakage guard throws on overlapping splits") {
     val bad = Seq(("s", "p", "o", "train"), ("s", "p", "o", "test"))
       .toDF("subject", "predicate", "object", "split")
