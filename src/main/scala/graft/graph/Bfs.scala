@@ -65,10 +65,15 @@ object Bfs {
     * force the distributed rounds (tests do).
     */
   def allPairsDistances(und: DataFrame, maxDepth: Int,
-      maxNodes: Int = 10000, driverThreshold: Long = 1 << 16): DataFrame = {
+      maxNodes: Int = 10000, driverThreshold: Long = 1 << 16,
+      requireConverged: Boolean = false): DataFrame = {
     def guard(nNodes: Long): Unit = require(nNodes <= maxNodes,
       s"allPairsDistances seeds a BFS from EVERY node (O(V*E)); refusing a graph " +
         s"with > $maxNodes nodes — raise maxNodes only for bounded stats subgraphs")
+    def failTruncated(): Unit = throw new IllegalStateException(
+      s"allPairsDistances: BFS still had a non-empty frontier at maxDepth=$maxDepth " +
+        "— distances are truncated and downstream per-component stats would " +
+        "silently fragment; raise maxDepth above the true diameter")
     if (driverThreshold > 0 &&
         und.limit(driverThreshold.toInt).count() < driverThreshold) {
       // the fast path collects the edges anyway — the node-count guard
@@ -94,6 +99,11 @@ object Bfs {
             .distinct.filterNot(dist.contains)
           frontier.foreach(n => dist(n) = d)
         }
+        // truncation = one MORE level would still discover nodes (a
+        // non-empty final frontier alone just means diameter == maxDepth)
+        if (requireConverged && frontier.nonEmpty &&
+            frontier.iterator.flatMap(n => adj.getOrElse(n, Array.empty[String]))
+              .exists(n => !dist.contains(n))) failTruncated()
         dist.foreach { case (n, dd) => out += ((a, n, dd)) }
       }
       return spark.createDataset(out.result()).toDF("a", "node", "dist")
@@ -119,6 +129,17 @@ object Bfs {
       frontier = next.localCheckpoint(true)
       dist = dist.unionAll(frontier).localCheckpoint(true)
     }
+    // truncation check mirrors the driver path: expand the final
+    // frontier once more and fail only if unseen nodes remain (an extra
+    // join job, paid only when the last frontier is non-empty)
+    if (requireConverged && frontier.limit(1).count() > 0) {
+      val more = frontier
+        .join(und, frontier("node") === und("src"))
+        .select(col("a"), col("dst").as("node")).distinct()
+        .join(dist.select(col("a").as("__va"), col("node").as("__vn")),
+          col("a") === col("__va") && col("node") === col("__vn"), "left_anti")
+      if (more.limit(1).count() > 0) failTruncated()
+    }
     dist
   }
 
@@ -127,14 +148,16 @@ object Bfs {
     * min node id reachable (graph_utils.py:163-180).
     *
     * CONTRACT: `maxDepth` must be >= the true diameter of every
-    * component. A smaller bound truncates each source's reachable set,
-    * so one component fragments into several rows keyed by
-    * inconsistent min-reachable ids. Use ConnectedComponents.run for
-    * component ids when the diameter is unknown.
+    * component — ENFORCED: a BFS whose frontier is still non-empty at
+    * maxDepth throws (IllegalStateException) instead of silently
+    * fragmenting components into rows keyed by inconsistent
+    * min-reachable ids. Use ConnectedComponents.run for component ids
+    * when the diameter is unknown.
     */
   def eccentricityStats(und: DataFrame, maxDepth: Int,
       driverThreshold: Long = 1 << 16): DataFrame = {
-    val ecc = allPairsDistances(und, maxDepth, driverThreshold = driverThreshold)
+    val ecc = allPairsDistances(und, maxDepth, driverThreshold = driverThreshold,
+      requireConverged = true)
       .groupBy(col("a"))
       .agg(max(col("dist")).as("ecc"), min(col("node")).as("component"))
     ecc.groupBy(col("component"))

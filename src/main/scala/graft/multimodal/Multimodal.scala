@@ -98,4 +98,21 @@ object Multimodal {
       lit(480).as("height"))
       .as[MediaRow]
   }
+
+  /** Media table over the driver `documents` fixture: doc text bytes as
+    * the opaque payload (string -> binary cast = UTF-8), doc_id as the
+    * media id — the driver-table entry point for the multimodal ->
+    * featurize -> ANN composition (q78).
+    */
+  def mediaFromDocs(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
+    import spark.implicits._
+    docs.select(
+      col("doc_id").as("media_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (pmod(col("doc_id"), lit(3L)) + 1).cast("int")).as("kind"),
+      col("text").cast("binary").as("payload"),
+      lit(640).as("width"),
+      lit(480).as("height"))
+      .as[MediaRow]
+  }
 }

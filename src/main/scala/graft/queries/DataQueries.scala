@@ -690,6 +690,29 @@ object DataQueries {
       },
       Some(annPairOracle("q69_ann_ivf_topk"))),
 
+    QueryDef("q78_multimodal_ann",
+      // End-to-end multimodal composition: documents -> opaque binary
+      // media rows -> batched featurize (the declared-stub decoder — a
+      // deterministic fake; the container ships no codecs) -> IVF ANN
+      // top-3 over the extracted features. Rows-only check (the feature
+      // vectors exist only Spark-side, so no DuckDB recompute is
+      // possible); the plumbing pieces are each separately tested
+      // (OpsSpec multimodal, AnnSpec IVF) — this query proves the seam
+      // composes in one distributed plan.
+      (s, d) => {
+        val media = graft.multimodal.Multimodal.mediaFromDocs(
+          s, table(s, d, "documents"))
+        val emb = graft.multimodal.Multimodal.featurize(media, 8)
+          .toDF()
+          .select(col("media_id").as("id"),
+            transform(col("features"), _.cast("double")).as("v"))
+        val queries = emb.filter(col("id") < 10)
+          .select(col("id").as("qid"), col("v").as("qv"))
+        graft.similarity.Ann.ivfTopK(emb, queries, 3)
+          .withColumn("cos", round(col("cos"), 6))
+      },
+      None),
+
     // ------------------------------------------------ time windows
     QueryDef("q44_tumbling_window",
       // hourly tumbling aggregation (batch form; streaming variant is

@@ -137,6 +137,20 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("eccentricity stats throw loudly when maxDepth truncates a component") {
+    // path 1-2-3-4-5: diameter 4. maxDepth=2 truncates -> must throw on
+    // BOTH paths; maxDepth=4 (== diameter exactly) must NOT throw.
+    val e = Bfs.undirected(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("src", "dst"))
+    for (thr <- Seq(1L << 16, 0L)) {
+      assertThrows[IllegalStateException](
+        Bfs.eccentricityStats(e, 2, driverThreshold = thr).collect())
+      val ok = Bfs.eccentricityStats(e, 4, driverThreshold = thr)
+        .as[(Long, Int, Int, Long)].collect()
+      assert(ok.toSeq == Seq((1L, 4, 2, 5L)), s"thr=$thr: ${ok.toSeq}")
+    }
+  }
+
   test("PPR push: mass concentrates near seeds; sweep cut finds the diamond") {
     val adj: Map[Long, Array[Long]] = rawEdges
       .flatMap { case (a, b) => Seq(a -> b, b -> a) }
