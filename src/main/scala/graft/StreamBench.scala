@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.fixtures.Fixtures
+import graft.pipeline.KgPipeline
+import graft.streaming.StreamOps
+
+/** Streaming KG front-half benchmark: replay the bench fixture's pages
+  * as file-source micro-batches through
+  * [[StreamOps.incrementalLinked]] (stateful exact dedup -> extract ->
+  * stream-static link) and measure per-trigger throughput + state size.
+  * Prints ONE JSON line and appends it to BENCH/stream_bench.jsonl.
+  *
+  * Env knobs: SPARK_GRAFT_CPUS (default 32),
+  * SPARK_GRAFT_KG_SCALE (tiny|small|bench, default small),
+  * SPARK_GRAFT_TRIGGER_FILES (files per trigger, default 4).
+  */
+object StreamBench {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val kgScale = sys.env.getOrElse("SPARK_GRAFT_KG_SCALE", "small")
+    val filesPerTrigger = sys.env.getOrElse("SPARK_GRAFT_TRIGGER_FILES", "4").toInt
+    val nFiles = 16
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-stream-bench")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.local.dir",
+        sys.env.getOrElse("SPARK_LOCAL_DIRS", "/dev/shm/graft-spark"))
+      .config("spark.sql.join.preferSortMergeJoin", "false")
+      .config("spark.sql.autoBroadcastJoinThreshold", "256m")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val cfg = kgScale match {
+      case "tiny" => Fixtures.tiny
+      case "bench" => Fixtures.bench
+      case _ => Fixtures.small
+    }
+    // stage the fixture pages as nFiles parquet files (untimed): the
+    // stream replays them filesPerTrigger at a time = real micro-batches
+    val inDir = s"/tmp/graft-streambench-$kgScale"
+    val gen = KgPipeline.fixtureInputs(spark, cfg)
+    val pages = gen.pages.select("url", "text", "lang")
+    if (!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$inDir/pages/_SUCCESS"))) {
+      pages.repartition(nFiles)
+        .write.mode("overwrite").parquet(s"$inDir/pages")
+    }
+    val nPages = spark.read.parquet(s"$inDir/pages").count()
+
+    val checkpoint = java.nio.file.Files
+      .createTempDirectory("graft-streambench-ckpt").toString
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft-streambench-out").toString
+    val stream = spark.readStream
+      .schema(pages.schema)
+      .option("maxFilesPerTrigger", filesPerTrigger)
+      .parquet(s"$inDir/pages")
+    val linked = StreamOps.incrementalLinked(
+      stream, gen.aliasDict, gen.entityKeywords)
+
+    val t0 = System.nanoTime()
+    val q = linked.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .format("parquet").option("path", outDir)
+      .start()
+    q.processAllAvailable()
+    val wall = (System.nanoTime() - t0) / 1e9
+    val progress = q.recentProgress.toSeq
+    q.stop()
+    val linkedRows = spark.read.parquet(outDir).count()
+
+    // per-trigger stats from the engine's own progress records
+    val triggers = progress.filter(_.numInputRows > 0)
+    val perTrigger = triggers.map { p =>
+      val stateRows = p.stateOperators.headOption
+        .map(_.numRowsTotal).getOrElse(0L)
+      s"""{"input_rows":${p.numInputRows},"batch_ms":${p.durationMs.get("triggerExecution")},""" +
+        s""""state_rows":$stateRows}"""
+    }.mkString("[", ",", "]")
+    val stateRowsFinal = triggers.lastOption
+      .flatMap(_.stateOperators.headOption).map(_.numRowsTotal).getOrElse(0L)
+    val json =
+      s"""{"metric":"stream_kg","scale":"$kgScale","cpus":$cpus,""" +
+        s""""pages":$nPages,"linked_rows":$linkedRows,"wall_sec":$wall,""" +
+        s""""pages_per_sec":${nPages / wall},"n_triggers":${triggers.size},""" +
+        s""""files_per_trigger":$filesPerTrigger,"state_rows":$stateRowsFinal,""" +
+        s""""triggers":$perTrigger}"""
+    println(json)
+    try {
+      val p = java.nio.file.Paths.get("/root/repo/BENCH/stream_bench.jsonl")
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p, (json + "\n").getBytes("UTF-8"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+    } catch { case e: Throwable =>
+      System.err.println(s"[stream-bench] record append failed: ${e.getMessage}")
+    }
+    spark.stop()
+  }
+}
