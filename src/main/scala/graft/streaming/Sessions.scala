@@ -124,7 +124,12 @@ object Sessions {
               }
             }
             state.update(cur)
-            state.setTimeoutTimestamp(cur.lastMs + gapMs)
+            // clamp above the watermark: with allowed lateness > gap, a
+            // legal late event can leave last+gap behind the watermark,
+            // and setTimeoutTimestamp rejects non-future timestamps —
+            // the clamped session then times out on the next trigger
+            state.setTimeoutTimestamp(
+              math.max(cur.lastMs + gapMs, state.getCurrentWatermarkMs() + 1))
             closed.result().iterator
           }
       }
