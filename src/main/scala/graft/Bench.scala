@@ -65,15 +65,28 @@ object Bench {
       spark.range(1000).selectExpr("sum(id)").collect()
       spark.read.parquet(s"$sfDir/region.parquet").count()
     }
+    // SPARK_GRAFT_ONLY_QUERIES=q57,q40[:reps] — comma-separated name
+    // prefixes (A/B iteration; default all, what the driver measures).
+    // SPARK_GRAFT_QUERY_REPS=N repeats each query N times and reports
+    // the BEST rep — the host VM's ±30-60% wall noise drowns single-rep
+    // A/Bs of sub-5s queries.
+    val onlyQ = sys.env.get("SPARK_GRAFT_ONLY_QUERIES").map(_.split(",").toSeq)
+    val qReps = sys.env.getOrElse("SPARK_GRAFT_QUERY_REPS", "1").toInt
     val results =
       if (skipQueries) Seq.empty[(String, Double)]
-      else SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch {
-          case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      else SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (name, _) => onlyQ.forall(_.exists(name.startsWith)) }
+        .map { case (name, fn) =>
+          val reps = (1 to qReps).map { _ =>
+            val t0 = System.nanoTime()
+            try { fn(spark, sfDir).count() } catch {
+              case e: Throwable =>
+                System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            }
+            (System.nanoTime() - t0) / 1e9
+          }
+          name -> reps.min
         }
-        name -> (System.nanoTime() - t0) / 1e9
-      }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
 

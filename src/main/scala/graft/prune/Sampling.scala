@@ -70,20 +70,25 @@ object Sampling {
     *
     * Under-filled blocks regenerate their deficit (the reference's
     * while-loop discipline, test_ranking.py, bounded like
-    * [[negativeSample]]'s loop-until-count): after the first
-    * `attemptFactor * (blockSize-1)` attempts, blocks still short of
-    * blockSize-1 survivors get additional attempt ranges
-    * [r*nAtt, (r+1)*nAtt) for up to `fillRounds` rounds — ONLY the
-    * deficient blocks pay for extra rounds. Because picks are the first
+    * [[negativeSample]]'s loop-until-count) by evaluating the FULL
+    * `fillRounds * nAtt` attempt budget. Because picks are the first
     * blockSize-1 survivors in ascending attempt order and dedup keeps
-    * the earliest attempt per entity, the adaptive loop's fixpoint is
-    * row-identical to a one-shot run over the full
-    * `fillRounds * nAtt` attempt budget (PruneSpec asserts this with
-    * attemptFactor=1 x 4 rounds == attemptFactor=4 x 1 round), which is
-    * exactly what the DuckDB oracle evaluates. A block whose viable
-    * pool is genuinely smaller than blockSize-1 still emits under-filled
-    * after `fillRounds` (compare block_size when protocol fidelity
-    * matters).
+    * the earliest attempt per entity, a full block's result is invariant
+    * under attempt extension — so an adaptive "extend only deficient
+    * blocks" loop has the same fixpoint as the one-shot full-budget run
+    * (PruneSpec asserts this with attemptFactor=1 x fillRounds=4 ==
+    * attemptFactor=4 x fillRounds=1), which is exactly what the DuckDB
+    * oracle evaluates. The implementation IS the one-shot: test sets are
+    * bounded (2*nTest*fillRounds*nAtt attempt rows — 157k at the driver
+    * query's nTest=100), and every probing variant measured 1.5-2.9x
+    * slower at that size by splitting the fused single-pass plan
+    * (localCheckpoint leaves the AQE query; persist+count pays a second
+    * query; a lazy patch branch re-evaluates the t/dict subtrees). At
+    * nTest >> 10^5, lower fillRounds/attemptFactor or reintroduce a
+    * probed extension — the algebra above guarantees the same rows.
+    * A block whose viable pool is genuinely smaller than blockSize-1
+    * still emits under-filled after the full budget (compare block_size
+    * when protocol fidelity matters).
     *
     * Returns one row per (test edge, side): (s, p, o, side, rnk,
     * block_size).
@@ -103,7 +108,6 @@ object Sampling {
     val sides = test.select(col("s"), col("p"), col("o"),
       explode(array(lit("head"), lit("tail"))).as("side"))
     val nAtt = attemptFactor * (blockSize - 1)
-    val sideKeys = Seq("s", "p", "o", "side")
     def attempts(forSides: DataFrame, lo: Int, hi: Int): DataFrame =
       forSides
         .select(col("s"), col("p"), col("o"), col("side"),
@@ -131,49 +135,29 @@ object Sampling {
         .filter(col("__rd") === 1)
         .drop("__rd")
 
-    // round 0 + bounded deficit regeneration: blocks short of
-    // blockSize-1 survivors draw the NEXT attempt range; full blocks are
-    // untouched (their first-blockSize-1-by-__a picks are stable under
-    // attempt extension, so the loop == one-shot fillRounds*nAtt budget)
-    var surv = dedupe(survivors(attempts(sides, 0, nAtt)))
-      .localCheckpoint(true)
-    var r = 1
-    while (r < fillRounds) {
-      val fullSides = surv.groupBy(sideKeys.map(col): _*)
-        .agg(count(lit(1)).as("__c"))
-        .filter(col("__c") >= blockSize - 1)
-        .select(sideKeys.map(col): _*)
-      val deficient = sides.join(fullSides, sideKeys, "left_anti")
-      if (deficient.limit(1).count() == 0) {
-        r = fillRounds
-      } else {
-        val extra = dedupe(survivors(attempts(deficient, r * nAtt, (r + 1) * nAtt)))
-        val defSurv = surv.join(fullSides, sideKeys, "left_anti")
-        val fullSurv = surv.join(fullSides, sideKeys, "left_semi")
-        // merge old + new survivors of deficient blocks and re-dedupe:
-        // an entity drawn again in a later round keeps its earliest __a
-        surv = fullSurv
-          .unionByName(dedupe(defSurv.unionByName(extra)))
-          .localCheckpoint(true)
-        r += 1
-      }
-    }
-    val picked = surv.withColumn("__rn", row_number().over(
-        Window.partitionBy("s", "p", "o", "side").orderBy(col("__a"))))
-      .filter(col("__rn") <= blockSize - 1)
     def scoreKey(a: Column, b: Column, c: Column): Column =
       md5(concat_ws("|", a, b, c, lit("sc57")))
-    val blocks = picked
-      .groupBy(col("s"), col("p"), col("o"), col("side"))
-      .agg(
-        (sum(when(scoreKey(col("cs"), col("p"), col("co"))
-          < scoreKey(col("s"), col("p"), col("o")), 1).otherwise(0)) + 1)
-          .cast("long").as("rnk"),
-        (count(lit(1)) + 1).cast("long").as("block_size"))
-    sides.join(blocks, Seq("s", "p", "o", "side"), "left")
-      .select(col("s"), col("p"), col("o"), col("side"),
-        coalesce(col("rnk"), lit(1L)).as("rnk"),
-        coalesce(col("block_size"), lit(1L)).as("block_size"))
+    def blocksFrom(surv: DataFrame): DataFrame =
+      surv.withColumn("__rn", row_number().over(
+          Window.partitionBy("s", "p", "o", "side").orderBy(col("__a"))))
+        .filter(col("__rn") <= blockSize - 1)
+        .groupBy(col("s"), col("p"), col("o"), col("side"))
+        .agg(
+          (sum(when(scoreKey(col("cs"), col("p"), col("co"))
+            < scoreKey(col("s"), col("p"), col("o")), 1).otherwise(0)) + 1)
+            .cast("long").as("rnk"),
+          (count(lit(1)) + 1).cast("long").as("block_size"))
+
+    def finish(forSides: DataFrame, blocks: DataFrame): DataFrame =
+      forSides.join(blocks, Seq("s", "p", "o", "side"), "left")
+        .select(col("s"), col("p"), col("o"), col("side"),
+          coalesce(col("rnk"), lit(1L)).as("rnk"),
+          coalesce(col("block_size"), lit(1L)).as("block_size"))
+
+    // one fused AQE plan, full budget (see scaladoc for why one-shot
+    // beats every probing variant at bounded-test-set size)
+    finish(sides,
+      blocksFrom(dedupe(survivors(attempts(sides, 0, fillRounds * nAtt)))))
   }
 
   /** Negative sampling by corruption (reference graph_sampler.py:33-87):
