@@ -204,26 +204,20 @@ object DataQueries {
       // bit-identical across engines; boundary where H % 64 == 0.
       // Emits per doc: window count, boundary count, and the first
       // boundary positions (the chunk grid a CDC dedup would key on).
+      // native CdcBoundaries expression: one compiled char loop per doc
+      // instead of n-7 interpreted 8-term HOF lambda evals (OpsSpec
+      // asserts bit-parity with the HOF form; oracle unchanged)
       (s, d) => {
         val w = 8
-        val pow = (0 until w).map(j => (0 until (w - 1 - j)).foldLeft(1L)((a, _) => a * 31L))
         table(s, d, "documents")
           .withColumn("n", length(col("text")))
           .filter(col("n") >= w)
-          .withColumn("cp", transform(split(col("text"), ""), c => ascii(c).cast("long")))
-          .withColumn("bounds",
-            filter(
-              transform(sequence(lit(1), col("n") - (w - 1)), i =>
-                struct(i.as("i"),
-                  (0 until w).map(j =>
-                    element_at(col("cp"), i + lit(j)) * lit(pow(j)))
-                    .reduce(_ + _).as("h"))),
-              x => pmod(x("h"), lit(64L)) === 0))
+          .withColumn("bpos", graft.functions.CdcBoundaries.of(col("text"), w, 64L))
           .select(col("doc_id"),
             (col("n") - (w - 1)).as("n_windows"),
-            size(col("bounds")).as("n_boundaries"),
-            concat_ws(",", transform(slice(col("bounds"), 1, 6),
-              x => x("i").cast("string"))).as("head_boundaries"))
+            size(col("bpos")).as("n_boundaries"),
+            concat_ws(",", transform(slice(col("bpos"), 1, 6),
+              _.cast("string"))).as("head_boundaries"))
       },
       Some("""WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents
              |           WHERE length(text) >= 8),
@@ -262,24 +256,16 @@ object DataQueries {
       // text never shuffles.
       (s, d) => {
         val w = 8
-        val pow = (0 until w).map(j =>
-          (0 until (w - 1 - j)).foldLeft(1L)((a, _) => a * 31L))
         table(s, d, "documents")
           .withColumn("n", length(col("text")))
           .filter(col("n") >= w)
-          .withColumn("cp", transform(split(col("text"), ""), c => ascii(c).cast("long")))
-          .withColumn("bpos",
-            filter(
-              transform(sequence(lit(1), col("n") - (w - 1)), i =>
-                struct(i.as("i"),
-                  (0 until w).map(j =>
-                    element_at(col("cp"), i + lit(j)) * lit(pow(j)))
-                    .reduce(_ + _).as("h"))),
-              x => pmod(x("h"), lit(64L)) === 0))
+          // native boundary pass (see q75); chunk cutting stays HOF but
+          // over ~n/64 chunks, not n-7 windows
+          .withColumn("bpos", graft.functions.CdcBoundaries.of(col("text"), w, 64L))
           // cut points: [1] ++ boundary positions ++ [n+1] -> chunk k is
           // text[cuts(k) until cuts(k+1))
           .withColumn("cuts", concat(array(lit(1)),
-            transform(col("bpos"), x => x("i")), array(col("n") + 1)))
+            col("bpos"), array(col("n") + 1)))
           .withColumn("chunk", explode(
             transform(sequence(lit(1), size(col("cuts")) - 1), k =>
               col("text").substr(element_at(col("cuts"), k),

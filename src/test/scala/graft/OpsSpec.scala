@@ -222,4 +222,40 @@ class OpsSpec extends AnyFunSuite {
       assert(got(id)(t) == bucket, s"id=$id t=$t")
     }
   }
+
+  test("CdcBoundaries == interpreted HOF rolling-hash form on fixture docs") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .withColumn("n", length(col("text")))
+      .filter(col("n") >= 8)
+    val w = 8
+    val pow = (0 until w).map(j => (0 until (w - 1 - j)).foldLeft(1L)((a, _) => a * 31L))
+    val hof = docs
+      .withColumn("cp", transform(split(col("text"), ""), ch => ascii(ch).cast("long")))
+      .select(col("doc_id"),
+        filter(
+          transform(sequence(lit(1), col("n") - (w - 1)), i =>
+            struct(i.as("i"),
+              (0 until w).map(j =>
+                element_at(col("cp"), i + lit(j)) * lit(pow(j)))
+                .reduce(_ + _).as("h"))),
+          x => pmod(x("h"), lit(64L)) === 0).as("b"))
+      .select(col("doc_id"), transform(col("b"), x => x("i")).as("b"))
+      .as[(Long, Seq[Int])].collect().toMap
+    val native = docs
+      .select(col("doc_id"),
+        graft.functions.CdcBoundaries.of(col("text"), w, 64L).as("b"))
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(native.keySet == hof.keySet && native.nonEmpty)
+    native.foreach { case (id, b) => assert(b == hof(id), s"doc $id") }
+    // edge cases: under-window text -> empty; exact-window boundary math
+    val edge = Seq((1L, "short"), (2L, "12345678"), (3L, ""))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"),
+        graft.functions.CdcBoundaries.of(col("text"), w, 64L).as("b"))
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(edge(1L).isEmpty && edge(3L).isEmpty)
+    val h8 = "12345678".map(_.toLong).zip(pow).map { case (cp, pw) => cp * pw }.sum
+    assert(edge(2L) == (if (h8 % 64 == 0) Seq(1) else Seq.empty))
+  }
 }
