@@ -133,6 +133,21 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("q77 chunk dedup: document text never shuffles") {
+    val df = SparkEntry.queries("q77_cdc_chunk_dedup")(spark, sf)
+    val plan = planOf(df)
+    // the only exchange is the (chash) aggregation over small
+    // (hash, len, doc_id) rows — chunk/document text must be cut and
+    // hashed map-side, never serialized through a shuffle
+    val exchanges = plan.split("\\n").filter(_.contains("Exchange hashpartitioning"))
+    assert(exchanges.nonEmpty, s"expected a chash aggregation exchange:\n$plan")
+    exchanges.foreach { e =>
+      assert(e.contains("chash"), s"unexpected shuffle key: $e")
+      assert(!e.contains("text") && !e.contains("chunk"),
+        s"document/chunk text crosses a shuffle: $e")
+    }
+  }
+
   test("prune evidence aggregation is two-phase (partial before shuffle)") {
     import spark.implicits._
     val linked = Seq(("s", "p", "o", "u", 0.9)).toDF("subject", "predicate", "object", "url", "link_conf")
