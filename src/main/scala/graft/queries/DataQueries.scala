@@ -371,6 +371,115 @@ object DataQueries {
              |  md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
              |FROM documents""".stripMargin)),
 
+    QueryDef("q79_tfidf_top_terms",
+      // TF-IDF per (doc, term) with top-5 terms per doc — the classic
+      // relevance weighting over the corpus. One narrow tokenize pass;
+      // tf/df are keyed aggregations (map-side combinable), the doc
+      // count rides as a 1-row crossJoin; ln at the 6dp cross-engine
+      // contract (libm-vs-JVM ulp differences sit far below 6dp, the
+      // q68 precedent).
+      (s, d) => {
+        val toks = table(s, d, "documents")
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+          .filter(length(col("term")) > 0)
+        val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val dfT = toks.select("doc_id", "term").distinct()
+          .groupBy("term").agg(count(lit(1)).as("df"))
+        val nDocs = table(s, d, "documents").agg(count(lit(1)).as("__n"))
+        tf.join(dfT, Seq("term")).crossJoin(nDocs)
+          .withColumn("tfidf", round(col("tf") *
+            log((col("__n") + 1).cast("double") / (col("df") + 1)), 6))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("doc_id")
+              .orderBy(col("tfidf").desc, col("term"))))
+          .filter(col("rn") <= 5)
+          .select(col("doc_id"), col("term"), col("tf"), col("df"),
+            col("tfidf"), col("rn"))
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, w AS term
+             |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+             |        FROM documents) u
+             |  WHERE length(w) > 0),
+             |tf AS (SELECT doc_id, term, count(*) AS tf
+             |       FROM toks GROUP BY doc_id, term),
+             |dfT AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+             |n AS (SELECT count(*) AS nd FROM documents),
+             |scored AS (
+             |  SELECT tf.doc_id, tf.term, tf.tf, dfT.df,
+             |    round(tf.tf * ln(CAST(nd + 1 AS DOUBLE) / (dfT.df + 1)), 6) AS tfidf
+             |  FROM tf JOIN dfT USING (term), n),
+             |r AS (SELECT *, row_number() OVER
+             |      (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn
+             |      FROM scored)
+             |SELECT doc_id, term, tf, df, tfidf, CAST(rn AS INTEGER) AS rn
+             |FROM r WHERE rn <= 5""".stripMargin)),
+
+    QueryDef("q80_bm25_search",
+      // BM25 keyword search (Robertson/Sparck-Jones; k1=1.2, b=0.75):
+      // score the corpus for a fixed 3-term query and return the top-10
+      // docs — the inverted-index retrieval op composed from the same
+      // tokenize/tf/df aggregations as q79. Only the query-term tf rows
+      // (|terms| x docs upper bound) flow past the token scan.
+      (s, d) => {
+        val terms = Seq("hash", "join", "scan")
+        val toks = table(s, d, "documents")
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+          .filter(length(col("term")) > 0)
+        val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+        val avgdl = dl.agg(avg(col("dl")).as("__avgdl"))
+        val nDocs = table(s, d, "documents").agg(count(lit(1)).as("__n"))
+        val tf = toks.filter(col("term").isin(terms: _*))
+          .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val dfT = toks.filter(col("term").isin(terms: _*))
+          .select("doc_id", "term").distinct()
+          .groupBy("term").agg(count(lit(1)).as("df"))
+        val k1 = lit(1.2)
+        val b = lit(0.75)
+        val idf = log(lit(1.0) +
+          (col("__n") - col("df") + 0.5) / (col("df") + 0.5))
+        val norm = col("tf") + k1 * (lit(1.0) - b + b * col("dl") / col("__avgdl"))
+        tf.join(dfT, Seq("term"))
+          .join(dl, Seq("doc_id"))
+          .crossJoin(nDocs).crossJoin(avgdl)
+          .withColumn("s_t", idf * col("tf") * (k1 + 1) / norm)
+          .groupBy("doc_id")
+          .agg(round(sum(col("s_t")), 6).as("score"),
+            count(lit(1)).as("n_terms_hit"))
+          // top-10 via orderBy+limit = distributed TakeOrdered partial
+          // top-k (a global row_number window would single-partition the
+          // whole scored corpus); rank assigned over the 10 survivors
+          .orderBy(col("score").desc, col("doc_id"))
+          .limit(10)
+          .withColumn("rn", row_number().over(
+            Window.orderBy(col("score").desc, col("doc_id"))))
+          .select(col("doc_id"), col("score"), col("n_terms_hit"), col("rn"))
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, w AS term
+             |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+             |        FROM documents) u
+             |  WHERE length(w) > 0),
+             |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+             |avgdl AS (SELECT avg(dl) AS avgdl FROM dl),
+             |n AS (SELECT count(*) AS nd FROM documents),
+             |qt AS (SELECT doc_id, term, count(*) AS tf FROM toks
+             |       WHERE term IN ('hash', 'join', 'scan') GROUP BY doc_id, term),
+             |dfT AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks
+             |        WHERE term IN ('hash', 'join', 'scan') GROUP BY term),
+             |st AS (
+             |  SELECT qt.doc_id,
+             |    ln(1.0 + (nd - dfT.df + CAST(0.5 AS DOUBLE)) / (dfT.df + CAST(0.5 AS DOUBLE)))
+             |      * qt.tf * (CAST(1.2 AS DOUBLE) + 1)
+             |      / (qt.tf + CAST(1.2 AS DOUBLE) *
+             |         (1 - CAST(0.75 AS DOUBLE) + CAST(0.75 AS DOUBLE) * dl.dl / avgdl.avgdl)) AS s_t
+             |  FROM qt JOIN dfT USING (term) JOIN dl USING (doc_id), n, avgdl),
+             |agg AS (SELECT doc_id, round(sum(s_t), 6) AS score, count(*) AS n_terms_hit
+             |        FROM st GROUP BY doc_id),
+             |r AS (SELECT *, row_number() OVER (ORDER BY score DESC, doc_id) AS rn FROM agg)
+             |SELECT doc_id, score, n_terms_hit, CAST(rn AS INTEGER) AS rn
+             |FROM r WHERE rn <= 10""".stripMargin)),
+
     QueryDef("q70_pii_redact",
       // PII redaction (training-data scrub): mask emails and IPv4s,
       // count redactions. The fixture text carries no PII, so the query
