@@ -65,13 +65,13 @@ object Bench {
       spark.range(1000).selectExpr("sum(id)").collect()
       spark.read.parquet(s"$sfDir/region.parquet").count()
     }
-    // SPARK_GRAFT_ONLY_QUERIES=q57,q40[:reps] — comma-separated name
-    // prefixes (A/B iteration; default all, what the driver measures).
+    // SPARK_GRAFT_ONLY_QUERIES=q57,q40 — comma-separated name prefixes
+    // (A/B iteration; default all, what the driver measures).
     // SPARK_GRAFT_QUERY_REPS=N repeats each query N times and reports
-    // the BEST rep — the host VM's ±30-60% wall noise drowns single-rep
-    // A/Bs of sub-5s queries.
+    // the BEST successful rep — the host VM's ±30-60% wall noise drowns
+    // single-rep A/Bs of sub-5s queries.
     val onlyQ = sys.env.get("SPARK_GRAFT_ONLY_QUERIES").map(_.split(",").toSeq)
-    val qReps = sys.env.getOrElse("SPARK_GRAFT_QUERY_REPS", "1").toInt
+    val qReps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_QUERY_REPS", "1").toInt)
     val results =
       if (skipQueries) Seq.empty[(String, Double)]
       else SparkEntry.queries.toSeq.sortBy(_._1)
@@ -79,11 +79,14 @@ object Bench {
         .map { case (name, fn) =>
           val reps = (1 to qReps).map { _ =>
             val t0 = System.nanoTime()
-            try { fn(spark, sfDir).count() } catch {
-              case e: Throwable =>
-                System.err.println(s"[bench] $name failed: ${e.getMessage}")
-            }
-            (System.nanoTime() - t0) / 1e9
+            val ok =
+              try { fn(spark, sfDir).count(); true } catch {
+                case e: Throwable =>
+                  System.err.println(s"[bench] $name failed: ${e.getMessage}")
+                  false
+              }
+            // a failed rep must never become the recorded minimum
+            if (ok) (System.nanoTime() - t0) / 1e9 else Double.MaxValue
           }
           name -> reps.min
         }
@@ -104,7 +107,13 @@ object Bench {
     val inDir = s"/tmp/graft-input-$kgScale"
     val gen = KgPipeline.fixtureInputs(spark, cfg)
     import org.apache.spark.sql.functions._
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$inDir/same_as/_SUCCESS"))) {
+    // restage when missing OR when the staged page count disagrees with
+    // the fixture config (parquet footer count — cheap): a
+    // _SUCCESS-only guard replays stale pages after a config change
+    val stagedOk = java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$inDir/same_as/_SUCCESS")) &&
+      spark.read.parquet(s"$inDir/pages").count() == cfg.nPages
+    if (!stagedOk) {
       gen.pages
         .withColumn("bucket", pmod(xxhash64(col("url")), lit(16L)).cast("int"))
         .write.mode("overwrite").partitionBy("bucket").parquet(s"$inDir/pages")

@@ -89,6 +89,15 @@ object Microbench {
       graft.core.Ids.mix64(
         graft.core.Ids.mix64(pagesDir.hashCode.toLong) ^ successMtime))
     val linkedDir = s"/dev/shm/graft-micro-linked-$inputKey"
+    // evict stale keyed caches: each fixture regeneration mints a new
+    // key, and leftover RAM-backed parquet on /dev/shm perturbs the
+    // very measurements this cache protects
+    java.nio.file.Files.list(java.nio.file.Paths.get("/dev/shm")).forEach { d =>
+      if (d.getFileName.toString.startsWith("graft-micro-linked-") &&
+          d.toString != linkedDir) {
+        scala.reflect.io.Directory(new java.io.File(d.toString)).deleteRecursively()
+      }
+    }
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$linkedDir/_SUCCESS"))) {
       graft.link.EntityLink.link(
         TripleExtract.assertions(pages), inputs.aliasDict, inputs.entityKeywords)

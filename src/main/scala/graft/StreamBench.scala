@@ -48,8 +48,14 @@ object StreamBench {
     val inDir = s"/tmp/graft-streambench-$kgScale"
     val gen = KgPipeline.fixtureInputs(spark, cfg)
     val pages = gen.pages.select("url", "text", "lang")
-    if (!java.nio.file.Files.exists(
-        java.nio.file.Paths.get(s"$inDir/pages/_SUCCESS"))) {
+    // restage when missing OR when the staged row count disagrees with
+    // the current fixture config — a _SUCCESS-only guard silently
+    // replays stale pages after a fixture change (the Microbench
+    // cache-corruption class)
+    val staged = java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$inDir/pages/_SUCCESS")) &&
+      spark.read.parquet(s"$inDir/pages").count() == cfg.nPages
+    if (!staged) {
       pages.repartition(nFiles)
         .write.mode("overwrite").parquet(s"$inDir/pages")
     }

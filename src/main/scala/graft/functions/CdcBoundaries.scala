@@ -43,8 +43,13 @@ case class CdcBoundaries(child: Expression, window: Int, mod: Long)
       (0 until (window - 1 - j)).foldLeft(1L)((a, _) => a * 31L))
 
   override def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String].toString
-    val n = s.length
+    // CODEPOINT indexing, not UTF-16 code units: Spark split(text, '')
+    // segments by codepoint and ascii() returns codePointAt(0), and
+    // DuckDB substring/ord are codepoint-indexed too — a charAt loop
+    // would shift every position after an astral char and hash surrogate
+    // halves, silently diverging from both the HOF form and the oracle
+    val cp = input.asInstanceOf[UTF8String].toString.codePoints().toArray
+    val n = cp.length
     if (n < window) return new GenericArrayData(Array.empty[Any])
     val out = scala.collection.mutable.ArrayBuffer.empty[Any]
     var i = 0
@@ -52,9 +57,7 @@ case class CdcBoundaries(child: Expression, window: Int, mod: Long)
       var h = 0L
       var j = 0
       while (j < window) {
-        // Char code unit == ascii()/ord() codepoint for BMP text (the
-        // HOF/oracle forms are character-indexed the same way)
-        h += s.charAt(i + j).toLong * pow(j)
+        h += cp(i + j).toLong * pow(j)
         j += 1
       }
       if (h % mod == 0) out += (i + 1) // 1-based window start

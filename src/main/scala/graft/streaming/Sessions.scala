@@ -119,7 +119,12 @@ object Sessions {
                 closed += emit(cur)
                 cur = OpenSession(t, t, 1L, Set(e.event_type), e.value)
               } else {
-                cur = OpenSession(cur.startMs, math.max(cur.lastMs, t),
+                // min start: a cross-batch late event (within the
+                // watermark) earlier than the open session's first event
+                // must extend the session backwards, as the batch
+                // session_window merge does
+                cur = OpenSession(math.min(cur.startMs, t),
+                  math.max(cur.lastMs, t),
                   cur.n + 1, cur.types + e.event_type, cur.total + e.value)
               }
             }

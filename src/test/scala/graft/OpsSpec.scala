@@ -257,5 +257,25 @@ class OpsSpec extends AnyFunSuite {
     assert(edge(1L).isEmpty && edge(3L).isEmpty)
     val h8 = "12345678".map(_.toLong).zip(pow).map { case (cp, pw) => cp * pw }.sum
     assert(edge(2L) == (if (h8 % 64 == 0) Seq(1) else Seq.empty))
+    // astral chars: positions/codepoints must match the HOF form (which
+    // is codepoint-indexed via split(text,'')+ascii), not UTF-16 units
+    val astral = Seq((1L, "a😀bcdefghij klmnop qrstuv"))
+      .toDF("doc_id", "text")
+      .withColumn("n", length(col("text")))
+    val hofA = astral
+      .withColumn("cp", transform(split(col("text"), ""), ch => ascii(ch).cast("long")))
+      .select(filter(
+        transform(sequence(lit(1), col("n") - (w - 1)), i =>
+          struct(i.as("i"),
+            (0 until w).map(j =>
+              element_at(col("cp"), i + lit(j)) * lit(pow(j)))
+              .reduce(_ + _).as("h"))),
+        x => pmod(x("h"), lit(64L)) === 0).as("b"))
+      .select(transform(col("b"), x => x("i")).as("b"))
+      .as[Seq[Int]].head()
+    val natA = astral
+      .select(graft.functions.CdcBoundaries.of(col("text"), w, 64L).as("b"))
+      .as[Seq[Int]].head()
+    assert(natA == hofA, s"astral divergence: native $natA vs hof $hofA")
   }
 }

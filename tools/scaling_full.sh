@@ -13,8 +13,12 @@ cd "$(dirname "$0")/.."
 run_level() {
   local c=$1 reps=$2 r
   for r in $(seq 1 "$reps"); do
+    # route the whole-file record into the session dir — without this,
+    # every rep would clobber the committed BENCH/last_bench.json with a
+    # KG-only blob
     SPARK_GRAFT_SKIP_QUERIES=1 SPARK_GRAFT_KG_SCALE=$SCALE \
       SPARK_GRAFT_CPUS=$c \
+      SPARK_GRAFT_BENCH_OUT="$OUT/c${c}_r${r}_full.json" \
       tools/run_class.sh -mem 16g -opts "-XX:+UseParallelGC -Xmn8g" graft.Bench 2>/dev/null |
       grep -E '^\{' > "$OUT/c${c}_r${r}.json"
     python3 - "$OUT/c${c}_r${r}.json" <<'EOF'
