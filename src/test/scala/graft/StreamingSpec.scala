@@ -181,6 +181,50 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stateful gap sessions merge an in-watermark late event backwards") {
+    import graft.streaming.Sessions
+    val dir = java.nio.file.Files.createTempDirectory("graft-late-sess")
+    def ev(id: Long, hhmm: String, user: Long = 1L) =
+      (id, java.sql.Timestamp.valueOf(s"2026-01-01 $hhmm:00"), user, "click", 1.0)
+    def stage(name: String, rows: Seq[(Long, java.sql.Timestamp, Long, String, Double)]): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-late-batch")
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp)
+        .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+      java.nio.file.Files.move(part, dir.resolve(name))
+    }
+    // batch 1: 10:10, 10:20 -> watermark 09:20. batch 2: LATE 10:00
+    // (allowed) — must extend the open session BACKWARDS to 10:00.
+    stage("b1.parquet", Seq(ev(1, "10:10"), ev(2, "10:20")))
+    val schema = Seq(ev(0, "00:00")).toDF(
+      "event_id", "ts", "user_id", "event_type", "value").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir.toString)
+      .withWatermark("ts", "1 hour")
+      .as[StreamOps.Event]
+    val q = Sessions.gapSessionsState(stream)
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("late_sess_out")
+      .start()
+    try {
+      q.processAllAvailable()
+      stage("b2.parquet", Seq(ev(3, "10:00")))
+      q.processAllAvailable()
+      stage("b3.parquet", Seq(ev(4, "12:00", user = -1L))) // flush sentinel... far enough? needs +8h+1h past 10:20
+      q.processAllAvailable()
+      stage("b4.parquet", Seq(ev(5, "23:50", user = -1L)))
+      q.processAllAvailable()
+      val rows = spark.table("late_sess_out")
+        .filter(col("user_id") === 1L)
+        .select(col("s_start"), col("s_end"), col("n_events"))
+        .as[(Long, Long, Long)].collect().toSeq
+      val t0 = java.sql.Timestamp.valueOf("2026-01-01 10:00:00").getTime / 1000
+      val tEnd = java.sql.Timestamp.valueOf("2026-01-01 10:20:00").getTime / 1000 + 8 * 3600
+      assert(rows == Seq((t0, tEnd, 3L)), s"got $rows")
+    } finally q.stop()
+  }
+
   test("streaming dedup keeps first-seen per fingerprint across micro-batches") {
     val dir = java.nio.file.Files.createTempDirectory("graft-stream-dedup")
     // the file source lists leaf files: write each batch elsewhere, then
