@@ -15,6 +15,7 @@ cd "$(dirname "$0")/.."
 if [ ! -f "/tmp/graft-input-$SCALE/same_as/_SUCCESS" ]; then
   echo "generating /tmp/graft-input-$SCALE ..."
   SPARK_GRAFT_SKIP_QUERIES=1 SPARK_GRAFT_KG_SCALE=$SCALE SPARK_GRAFT_CPUS=32 \
+    SPARK_GRAFT_BENCH_OUT="/tmp/multijvm_gen.json" \
     tools/run_class.sh -mem 16g -opts "-XX:+UseParallelGC -Xmn8g" graft.Bench \
     >/dev/null 2>&1
 fi
@@ -24,6 +25,7 @@ for r in $(seq 1 "$REPS"); do
     lo=$((q * 4)); hi=$((q * 4 + 3))
     SPARK_GRAFT_SKIP_QUERIES=1 SPARK_GRAFT_KG_SCALE=$SCALE SPARK_GRAFT_CPUS=8 \
       SPARK_GRAFT_BUCKETS="$lo-$hi" \
+      SPARK_GRAFT_BENCH_OUT="/tmp/multijvm_${r}_q${q}_full.json" \
       tools/run_class.sh -mem 16g -opts "-XX:+UseParallelGC -Xmn8g" graft.Bench \
       2>/dev/null | grep -E '^\{' > "/tmp/multijvm_${r}_q${q}.json" &
     pids+=($!)
