@@ -72,25 +72,28 @@ object Bench {
     // single-rep A/Bs of sub-5s queries.
     val onlyQ = sys.env.get("SPARK_GRAFT_ONLY_QUERIES").map(_.split(",").toSeq)
     val qReps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_QUERY_REPS", "1").toInt)
-    val results =
-      if (skipQueries) Seq.empty[(String, Double)]
+    val repResults =
+      if (skipQueries) Seq.empty[(String, Option[Double])]
       else SparkEntry.queries.toSeq.sortBy(_._1)
         .filter { case (name, _) => onlyQ.forall(_.exists(name.startsWith)) }
         .map { case (name, fn) =>
-          val reps = (1 to qReps).map { _ =>
+          val reps = (1 to qReps).flatMap { _ =>
             val t0 = System.nanoTime()
-            val ok =
-              try { fn(spark, sfDir).count(); true } catch {
-                case e: Throwable =>
-                  System.err.println(s"[bench] $name failed: ${e.getMessage}")
-                  false
-              }
-            // a failed rep must never become the recorded minimum
-            if (ok) (System.nanoTime() - t0) / 1e9 else Double.MaxValue
+            try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+            catch {
+              case e: Throwable =>
+                System.err.println(s"[bench] $name failed: ${e.getMessage}")
+                None // a failed rep must never become the recorded minimum
+            }
           }
-          name -> reps.min
+          // a query whose reps ALL failed is recorded in "failed", not as
+          // a Double.MaxValue time corrupting the map and the total
+          name -> (if (reps.nonEmpty) Some(reps.min) else None)
         }
+    val results = repResults.collect { case (k, Some(v)) => (k, v) }
+    val failedQ = repResults.collect { case (k, None) => k }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val failedJson = failedQ.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
 
     // ---- end-to-end KG pipeline throughput (extract->link->canon->prune)
@@ -185,20 +188,41 @@ object Bench {
         s""""stages":$stagesJson}"""
 
     val json =
-      s"""{"metric":"total","value":${total + kgWall},"unit":"sec","queries":$qs,"sf":"$sfDir","kg":$kgJson}"""
+      s"""{"metric":"total","value":${total + kgWall},"unit":"sec","queries":$qs,""" +
+        s""""failed":$failedJson,"sf":"$sfDir","kg":$kgJson}"""
     println(json)
-    // Also persist to a file: the harness captures only a stdout tail, so
-    // long per-query maps were truncated out of the round record
-    // (BENCH_r03.json "parsed": null). A whole-file copy survives.
+    // Persist the whole record too: the harness captures only a stdout
+    // tail (BENCH_r03.json "parsed": null). The DEFAULT whole-file path
+    // is /tmp — never the curated BENCH/last_bench.json, which an
+    // env-less or A/B run (ONLY_QUERIES / QUERY_REPS / bucket-slice)
+    // used to clobber with a non-comparable record. Opt in to the
+    // committed record path explicitly via SPARK_GRAFT_BENCH_OUT.
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-      "/root/repo/BENCH/last_bench.json")
+      "/tmp/graft-last-bench.json")
     try {
       java.nio.file.Files.createDirectories(
-        java.nio.file.Paths.get(outPath).getParent)
+        java.nio.file.Paths.get(outPath).toAbsolutePath.getParent)
       java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
         (json + "\n").getBytes("UTF-8"))
     } catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
+    }
+    // Full-protocol runs (the driver's shape: every query, single rep,
+    // whole fixture) additionally APPEND to an in-repo history so each
+    // round's complete record survives the harness truncation without
+    // ever overwriting the curated clean-window file.
+    val fullProtocol =
+      !skipQueries && onlyQ.isEmpty && qReps == 1 && bucketRange.isEmpty
+    if (fullProtocol) {
+      try {
+        val p = java.nio.file.Paths.get("/root/repo/BENCH/bench_history.jsonl")
+        java.nio.file.Files.createDirectories(p.getParent)
+        java.nio.file.Files.write(p, (json + "\n").getBytes("UTF-8"),
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.APPEND)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] history append failed: ${e.getMessage}")
+      }
     }
     spark.stop()
   }

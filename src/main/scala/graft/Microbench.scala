@@ -91,13 +91,24 @@ object Microbench {
     val linkedDir = s"/dev/shm/graft-micro-linked-$inputKey"
     // evict stale keyed caches: each fixture regeneration mints a new
     // key, and leftover RAM-backed parquet on /dev/shm perturbs the
-    // very measurements this cache protects
-    java.nio.file.Files.list(java.nio.file.Paths.get("/dev/shm")).forEach { d =>
-      if (d.getFileName.toString.startsWith("graft-micro-linked-") &&
-          d.toString != linkedDir) {
-        scala.reflect.io.Directory(new java.io.File(d.toString)).deleteRecursively()
+    // very measurements this cache protects. Only dirs idle >30 min are
+    // evicted — a concurrently running Microbench JVM's in-use staged
+    // parquet must not be deleted mid-measurement — and the Files.list
+    // stream is closed (it holds an fd until closed).
+    val evictAgeMs = 30L * 60 * 1000
+    val shm = java.nio.file.Files.list(java.nio.file.Paths.get("/dev/shm"))
+    try {
+      shm.forEach { d =>
+        val idleMs = try {
+          System.currentTimeMillis() -
+            java.nio.file.Files.getLastModifiedTime(d).toMillis
+        } catch { case _: Throwable => 0L }
+        if (d.getFileName.toString.startsWith("graft-micro-linked-") &&
+            d.toString != linkedDir && idleMs > evictAgeMs) {
+          scala.reflect.io.Directory(new java.io.File(d.toString)).deleteRecursively()
+        }
       }
-    }
+    } finally shm.close()
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$linkedDir/_SUCCESS"))) {
       graft.link.EntityLink.link(
         TripleExtract.assertions(pages), inputs.aliasDict, inputs.entityKeywords)

@@ -373,20 +373,26 @@ object DataQueries {
 
     QueryDef("q79_tfidf_top_terms",
       // TF-IDF per (doc, term) with top-5 terms per doc — the classic
-      // relevance weighting over the corpus. One narrow tokenize pass;
-      // tf/df are keyed aggregations (map-side combinable), the doc
-      // count rides as a 1-row crossJoin; ln at the 6dp cross-engine
-      // contract (libm-vs-JVM ulp differences sit far below 6dp, the
-      // q68 precedent).
+      // relevance weighting over the corpus. ONE tokenize pass: df is
+      // derived FROM the tf aggregate (tf has exactly one row per
+      // (doc, term) present, so df = count over a term-partitioned
+      // window on tf) instead of a second explode of the corpus — at
+      // 100 TB the explode of the text column dominates and the r4 plan
+      // paid it twice. The window form keeps the plan a single linear
+      // chain (a tf-groupBy-join-tf form duplicates the whole explode
+      // subtree; exchange reuse does not collapse it), at the cost of
+      // the same per-term shuffle the df join needed anyway (PlanSpec
+      // asserts a single Generate). Doc count rides as a 1-row
+      // crossJoin; ln at the 6dp cross-engine contract (libm-vs-JVM
+      // ulps sit far below 6dp, the q68 precedent).
       (s, d) => {
         val toks = table(s, d, "documents")
           .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
           .filter(length(col("term")) > 0)
         val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-        val dfT = toks.select("doc_id", "term").distinct()
-          .groupBy("term").agg(count(lit(1)).as("df"))
         val nDocs = table(s, d, "documents").agg(count(lit(1)).as("__n"))
-        tf.join(dfT, Seq("term")).crossJoin(nDocs)
+        tf.withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
+          .crossJoin(nDocs)
           .withColumn("tfidf", round(col("tf") *
             log((col("__n") + 1).cast("double") / (col("df") + 1)), 6))
           .withColumn("rn", row_number().over(
@@ -419,27 +425,36 @@ object DataQueries {
       // BM25 keyword search (Robertson/Sparck-Jones; k1=1.2, b=0.75):
       // score the corpus for a fixed 3-term query and return the top-10
       // docs — the inverted-index retrieval op composed from the same
-      // tokenize/tf/df aggregations as q79. Only the query-term tf rows
+      // tokenize/tf/df aggregations as q79. ONE explode of the corpus
+      // (the r4 plan paid it three times): tf filters the token stream
+      // to the query terms, df derives from tf via a term-partitioned
+      // window count (as q79 — no duplicated explode subtree), and dl
+      // needs no explode at all — the per-doc nonempty-token count is
+      // `size(regexp_extract_all(text, '[^ ]+'))`, a narrow codegen'd
+      // per-row expression (maximal non-space runs == the nonempty
+      // split-on-space tokens; docs with zero tokens are dropped to
+      // match the aggregate form). Only the query-term tf rows
       // (|terms| x docs upper bound) flow past the token scan.
       (s, d) => {
         val terms = Seq("hash", "join", "scan")
         val toks = table(s, d, "documents")
           .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
           .filter(length(col("term")) > 0)
-        val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+        val dl = table(s, d, "documents")
+          .select(col("doc_id"),
+            size(regexp_extract_all(col("text"), lit("[^ ]+"), lit(0)))
+              .cast("long").as("dl"))
+          .filter(col("dl") > 0)
         val avgdl = dl.agg(avg(col("dl")).as("__avgdl"))
         val nDocs = table(s, d, "documents").agg(count(lit(1)).as("__n"))
         val tf = toks.filter(col("term").isin(terms: _*))
           .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-        val dfT = toks.filter(col("term").isin(terms: _*))
-          .select("doc_id", "term").distinct()
-          .groupBy("term").agg(count(lit(1)).as("df"))
         val k1 = lit(1.2)
         val b = lit(0.75)
         val idf = log(lit(1.0) +
           (col("__n") - col("df") + 0.5) / (col("df") + 0.5))
         val norm = col("tf") + k1 * (lit(1.0) - b + b * col("dl") / col("__avgdl"))
-        tf.join(dfT, Seq("term"))
+        tf.withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
           .join(dl, Seq("doc_id"))
           .crossJoin(nDocs).crossJoin(avgdl)
           .withColumn("s_t", idf * col("tf") * (k1 + 1) / norm)
@@ -789,11 +804,17 @@ object DataQueries {
       // End-to-end multimodal composition: documents -> opaque binary
       // media rows -> batched featurize (the declared-stub decoder — a
       // deterministic fake; the container ships no codecs) -> IVF ANN
-      // top-3 over the extracted features. Rows-only check (the feature
-      // vectors exist only Spark-side, so no DuckDB recompute is
-      // possible); the plumbing pieces are each separately tested
-      // (OpsSpec multimodal, AnnSpec IVF) — this query proves the seam
-      // composes in one distributed plan.
+      // top-3 over the extracted features. The feature vectors exist
+      // only Spark-side, so the pair semi-oracle (q49/q69) is extended:
+      // each pair is emitted WITH its two vectors (comma-joined strings
+      // — Java shortest-round-trip double repr, parsed back exactly by
+      // DuckDB's correctly-rounded CAST), and the oracle recomputes the
+      // cosine + per-qid rank from those vectors. Only the stub decode
+      // itself stays unchecked; the rerank math, ordering, pair
+      // uniqueness and rank consistency are hash-gated. As in q49/q69,
+      // rn is re-derived over the ROUNDED cos with the nn_id tiebreak
+      // so a rounding-created tie cannot leave rn inconsistent with the
+      // emitted ordering.
       (s, d) => {
         val media = graft.multimodal.Multimodal.mediaFromDocs(
           s, table(s, d, "documents"))
@@ -803,10 +824,40 @@ object DataQueries {
             transform(col("features"), _.cast("double")).as("v"))
         val queries = emb.filter(col("id") < 10)
           .select(col("id").as("qid"), col("v").as("qv"))
+        def vecStr(v: Column): Column =
+          concat_ws(",", transform(v, _.cast("string")))
         graft.similarity.Ann.ivfTopK(emb, queries, 3)
           .withColumn("cos", round(col("cos"), 6))
+          .join(queries.select(col("qid"), vecStr(col("qv")).as("qv_str")),
+            Seq("qid"))
+          .join(emb.select(col("id").as("nn_id"), vecStr(col("v")).as("v_str")),
+            Seq("nn_id"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("qid").orderBy(col("cos").desc, col("nn_id"))))
+          .select(col("qid"), col("nn_id"), col("qv_str"), col("v_str"),
+            col("cos"), col("rn"))
       },
-      None),
+      Some("""WITH pairs AS (
+             |  SELECT qid, nn_id, qv_str, v_str
+             |  FROM read_parquet('__SPARK_OUT__/q78_multimodal_ann/*.parquet')),
+             |vecs AS (
+             |  SELECT qid, nn_id, qv_str, v_str,
+             |    list_transform(string_split(qv_str, ','), x -> CAST(x AS DOUBLE)) AS qv,
+             |    list_transform(string_split(v_str, ','), x -> CAST(x AS DOUBLE)) AS v
+             |  FROM pairs),
+             |scored AS (
+             |  SELECT qid, nn_id, qv_str, v_str,
+             |    CASE WHEN list_sum(list_transform(qv, x -> x*x)) = 0
+             |           OR list_sum(list_transform(v, x -> x*x)) = 0 THEN 0.0
+             |         ELSE round(
+             |           list_sum(list_transform(range(len(qv)), i -> qv[i+1] * v[i+1]))
+             |           / (sqrt(list_sum(list_transform(qv, x -> x*x)))
+             |              * sqrt(list_sum(list_transform(v, x -> x*x)))), 6) END AS cos
+             |  FROM vecs)
+             |SELECT qid, nn_id, qv_str, v_str, cos,
+             |       CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nn_id)
+             |            AS INTEGER) AS rn
+             |FROM scored""".stripMargin)),
 
     // ------------------------------------------------ time windows
     QueryDef("q44_tumbling_window",

@@ -46,9 +46,14 @@ object Ann {
       emb: DataFrame, // (id, v: array<double>)
       queries: DataFrame, // (qid, qv: array<double>)
       k: Int,
-      // defaults tuned for weakly-clustered data: more tables + shorter
-      // signatures = higher collision probability per true neighbor
-      tables: Int = 8,
+      // defaults tuned for weakly-clustered data: recall grows as
+      // 1-(1-p^planes)^tables, so more tables at FIXED planes buys
+      // recall without growing per-table bucket occupancy (the
+      // candidate-join cost driver at scale). Fixture sweep (sf0.001,
+      // recall@3 vs brute force): 8x6 -> 0.33, 16x6 -> 0.57,
+      // 24x6 -> 0.67 (chosen; floor pinned at 0.5 in AnnSpec),
+      // vs 16x5 -> 0.73 but with 2x the expected bucket size.
+      tables: Int = 24,
       planes: Int = 6): DataFrame = {
     val corpusSig = signatures(emb, "id", "v", tables, planes)
     val querySig = signatures(queries, "qid", "qv", tables, planes)

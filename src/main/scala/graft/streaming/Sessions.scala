@@ -74,69 +74,81 @@ object Sessions {
   final case class OpenSession(startMs: Long, lastMs: Long, n: Long,
       types: Set[String], total: Double)
 
+  /** Per-user pending-session list for [[gapSessionsState]] — every
+    * session whose finalization the watermark has not yet passed, kept
+    * sorted by start.
+    */
+  final case class PendingSessions(sessions: Seq[OpenSession])
+
   /** Custom-state gap sessionization: flatMapGroupsWithState keyed on
-    * user with an event-time timeout of `gapMs` past the last event.
-    * Sessions close (and emit) either when a later in-stream event
-    * arrives past the gap, or when the WATERMARK passes last + gap
-    * (the timeout path — an idle user's state is removed, unlike the
+    * user with an event-time timeout.
+    *
+    * State is the LIST of pending sessions (not one open session): each
+    * incoming event is a unit interval, merged with its neighbors
+    * wherever the boundary gap is < `gapMs` (standard interval
+    * merging — a late event that bridges two pending sessions fuses
+    * them, one earlier than every pending session starts its own). A
+    * session emits exactly when the watermark passes `last + gap`: at
+    * that point no admissible event (ts > watermark) can merge with it
+    * forward (would need ts - last < gap) or backward (would need
+    * ts < start <= last < watermark), so emitted sessions are final
+    * under ANY in-watermark arrival order and any watermark delay —
+    * the same finalization rule streaming `session_window` uses in
+    * Append mode. The r4 single-open-session merge-forward form
+    * diverged from batch when a bridging event arrived after a session
+    * split; the pending-list form cannot. Idle users' state is reaped
+    * by the event-time timeout (bounded by ACTIVE users, unlike the
     * NoTimeout running-aggregate in [[StreamOps.sessionize]]).
     *
-    * Contract: within a micro-batch events are sorted by ts here;
-    * across batches events may arrive out of order only within the
-    * watermark, and an event older than the current open session's tail
-    * merges forward (the standard mapGroupsWithState sessionization
-    * semantics). The caller must `withWatermark` the input; StreamingSpec
-    * proves equality with [[gapSessions]] on an in-order replay.
+    * The caller must `withWatermark` the input before groupByKey.
+    * StreamingSpec proves equality with [[gapSessions]] on in-order,
+    * late-event, and seeded randomized in-watermark out-of-order
+    * replays.
     */
   def gapSessionsState(events: Dataset[StreamOps.Event],
       gapMs: Long = 8L * 3600 * 1000): Dataset[SessionRow] = {
     import events.sparkSession.implicits._
     events
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[OpenSession, SessionRow](
+      .flatMapGroupsWithState[PendingSessions, SessionRow](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (uid: Long, rows: Iterator[StreamOps.Event],
-         state: GroupState[OpenSession]) =>
+         state: GroupState[PendingSessions]) =>
           def emit(s: OpenSession) = SessionRow(uid,
             s.startMs / 1000, (s.lastMs + gapMs) / 1000,
             s.n, s.types.size.toLong,
             BigDecimal(s.total).setScale(4, BigDecimal.RoundingMode.HALF_UP)
               .toDouble)
-          if (!rows.hasNext) {
-            // timeout fired: watermark passed last + gap -> final session
-            val out = state.getOption.map(emit).iterator
-            state.remove()
-            out
-          } else {
-            val sorted = rows.toArray.sortBy(_.ts.getTime)
-            val closed = Seq.newBuilder[SessionRow]
-            var cur = state.getOption.orNull
-            sorted.foreach { e =>
-              val t = e.ts.getTime
-              if (cur == null) {
-                cur = OpenSession(t, t, 1L, Set(e.event_type), e.value)
-              } else if (t - cur.lastMs >= gapMs) {
-                closed += emit(cur)
-                cur = OpenSession(t, t, 1L, Set(e.event_type), e.value)
-              } else {
-                // min start: a cross-batch late event (within the
-                // watermark) earlier than the open session's first event
-                // must extend the session backwards, as the batch
-                // session_window merge does
-                cur = OpenSession(math.min(cur.startMs, t),
-                  math.max(cur.lastMs, t),
-                  cur.n + 1, cur.types + e.event_type, cur.total + e.value)
-              }
+          val incoming = rows.map { e =>
+            val t = e.ts.getTime
+            OpenSession(t, t, 1L, Set(e.event_type), e.value)
+          }.toSeq
+          val all = (state.getOption.map(_.sessions).getOrElse(Seq.empty)
+            ++ incoming).sortBy(s => (s.startMs, s.lastMs))
+          // interval merge: adjacent sessions fuse while the boundary
+          // gap stays under the threshold (split at gap >= threshold,
+          // the session_window contract)
+          val merged = all.foldLeft(List.empty[OpenSession]) { (acc, s) =>
+            acc match {
+              case head :: tail if s.startMs - head.lastMs < gapMs =>
+                OpenSession(head.startMs, math.max(head.lastMs, s.lastMs),
+                  head.n + s.n, head.types ++ s.types,
+                  head.total + s.total) :: tail
+              case _ => s :: acc
             }
-            state.update(cur)
-            // clamp above the watermark: with allowed lateness > gap, a
-            // legal late event can leave last+gap behind the watermark,
-            // and setTimeoutTimestamp rejects non-future timestamps —
-            // the clamped session then times out on the next trigger
+          }.reverse
+          val wm = state.getCurrentWatermarkMs()
+          val (closed, open) = merged.partition(_.lastMs + gapMs <= wm)
+          if (open.isEmpty) state.remove()
+          else {
+            state.update(PendingSessions(open))
+            // next finalization instant; clamped above the watermark
+            // (setTimeoutTimestamp rejects non-future timestamps — the
+            // clamped session then times out on the next trigger)
             state.setTimeoutTimestamp(
-              math.max(cur.lastMs + gapMs, state.getCurrentWatermarkMs() + 1))
-            closed.result().iterator
+              math.max(open.map(_.lastMs + gapMs).min, wm + 1))
           }
+          closed.iterator.map(emit)
       }
   }
 }

@@ -148,6 +148,19 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q79/q80: the corpus is tokenized exactly once (single Generate)") {
+    // r4 paid the text-column explode 2-3x per query (separate tf/df/dl
+    // subtrees); df now derives from the tf aggregate (ReusedExchange
+    // dedups the shared subtree) and q80's dl is a narrow per-row
+    // expression — the explode, the dominant cost at corpus scale, must
+    // appear exactly once in each physical plan
+    Seq("q79_tfidf_top_terms", "q80_bm25_search").foreach { q =>
+      val plan = planOf(SparkEntry.queries(q)(spark, sf))
+      val nGenerate = plan.split("\\n").count(_.contains("Generate explode"))
+      assert(nGenerate == 1, s"$q: expected 1 Generate explode, got $nGenerate:\n$plan")
+    }
+  }
+
   test("prune evidence aggregation is two-phase (partial before shuffle)") {
     import spark.implicits._
     val linked = Seq(("s", "p", "o", "u", 0.9)).toDF("subject", "predicate", "object", "url", "link_conf")

@@ -181,6 +181,60 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stateful gap sessions equal the batch run under seeded out-of-order replays") {
+    // Property: ANY arrival order realizable under the watermark gives
+    // the batch result. Arrival order = ts + jitter with jitter drawn
+    // in [0, delay): when an event arrives, every earlier arrival has
+    // ts' <= ts + jitter < ts + delay, so the watermark (max seen - 1h)
+    // sits strictly below the event's ts — an adversarial but legal
+    // in-watermark shuffle. Three seeds, five micro-batches each.
+    import graft.streaming.Sessions
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+    val want = sessionMap(Sessions.gapSessions(ev, "8 hours"))
+    val rows = ev.as[(Long, java.sql.Timestamp, Long, String, Double)]
+      .collect().toSeq
+    val delayMs = 3600 * 1000L
+    val maxTs = rows.map(_._2.getTime).max
+    for (seed <- Seq(7, 23, 31)) {
+      val rnd = new scala.util.Random(seed)
+      val arrival = rows
+        .map(r => (r, r._2.getTime + rnd.between(0L, delayMs)))
+        .sortBy(_._2).map(_._1)
+      val dir = java.nio.file.Files.createTempDirectory(s"graft-ooo-sess-$seed")
+      def stage(name: String,
+          batch: Seq[(Long, java.sql.Timestamp, Long, String, Double)]): Unit = {
+        val tmp = java.nio.file.Files.createTempDirectory("graft-ooo-batch")
+        batch.toDF("event_id", "ts", "user_id", "event_type", "value")
+          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = java.nio.file.Files.list(tmp)
+          .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+        java.nio.file.Files.move(part, dir.resolve(name))
+      }
+      val perBatch = math.max(1, arrival.length / 5 + 1)
+      arrival.grouped(perBatch).zipWithIndex.foreach { case (g, i) =>
+        stage(f"b$i%03d.parquet", g)
+      }
+      val sentinel = (-1L,
+        new java.sql.Timestamp(maxTs + 30L * 86400 * 1000), -1L, "flush", 0.0)
+      stage("b999.parquet", Seq(sentinel))
+      val stream = spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1).parquet(dir.toString)
+        .withWatermark("ts", "1 hour")
+        .as[StreamOps.Event]
+      val q = Sessions.gapSessionsState(stream)
+        .writeStream.outputMode(OutputMode.Append())
+        .format("memory").queryName(s"ooo_sess_$seed")
+        .start()
+      try {
+        q.processAllAvailable()
+        assertSessionsEqual(
+          sessionMap(spark.table(s"ooo_sess_$seed").toDF()), want)
+      } finally q.stop()
+    }
+  }
+
   test("stateful gap sessions merge an in-watermark late event backwards") {
     import graft.streaming.Sessions
     val dir = java.nio.file.Files.createTempDirectory("graft-late-sess")
