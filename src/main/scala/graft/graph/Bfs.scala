@@ -66,7 +66,10 @@ object Bfs {
     */
   def allPairsDistances(und: DataFrame, maxDepth: Int,
       maxNodes: Int = 10000, driverThreshold: Long = 1 << 16,
-      requireConverged: Boolean = false): DataFrame = {
+      // default TRUE: silently truncated distances poison any
+      // downstream stat; a caller doing intentionally-bounded k-hop
+      // exploration opts out explicitly
+      requireConverged: Boolean = true): DataFrame = {
     def guard(nNodes: Long): Unit = require(nNodes <= maxNodes,
       s"allPairsDistances seeds a BFS from EVERY node (O(V*E)); refusing a graph " +
         s"with > $maxNodes nodes — raise maxNodes only for bounded stats subgraphs")

@@ -16,6 +16,15 @@ class DriverContractSpec extends AnyFunSuite {
     assert(os.subsetOf(qs), s"orphan oracles: ${os.diff(qs)}")
   }
 
+  test("EVERY query has an oracle (zero rows-only correctness rows)") {
+    // r5 closed the last no_oracle row (q78: pair semi-oracle over the
+    // emitted feature vectors); a new query landing without an oracle
+    // should fail here, not silently weaken the correctness gate
+    val qs = SparkEntry.queries.keySet
+    val os = SparkEntry.oracleSql.keySet
+    assert(qs.subsetOf(os), s"oracle-less queries: ${qs.diff(os)}")
+  }
+
   test("every registered query executes at sf0.001") {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val n = fn(spark, sf).count()
