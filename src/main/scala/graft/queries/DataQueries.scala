@@ -373,25 +373,36 @@ object DataQueries {
 
     QueryDef("q79_tfidf_top_terms",
       // TF-IDF per (doc, term) with top-5 terms per doc — the classic
-      // relevance weighting over the corpus. ONE tokenize pass: df is
-      // derived FROM the tf aggregate (tf has exactly one row per
-      // (doc, term) present, so df = count over a term-partitioned
-      // window on tf) instead of a second explode of the corpus — at
-      // 100 TB the explode of the text column dominates and the r4 plan
-      // paid it twice. The window form keeps the plan a single linear
-      // chain (a tf-groupBy-join-tf form duplicates the whole explode
-      // subtree; exchange reuse does not collapse it), at the cost of
-      // the same per-term shuffle the df join needed anyway (PlanSpec
-      // asserts a single Generate). Doc count rides as a 1-row
-      // crossJoin; ln at the 6dp cross-engine contract (libm-vs-JVM
-      // ulps sit far below 6dp, the q68 precedent).
+      // relevance weighting over the corpus. ONE tokenize pass AND
+      // skew-safe df attachment, which under AQE requires materializing
+      // the tf aggregate (the Spark ML IDF two-action pattern; q58's
+      // localCheckpoint precedent):
+      //  - deriving df by re-aggregating a LAZY tf duplicates the whole
+      //    explode subtree — column pruning drops the count from the df
+      //    branch so the two exchanges are not canonically equal and
+      //    ReusedExchange refuses; even with the count forced live, AQE
+      //    re-plans each stage and never reuses (measured: equal stage
+      //    counts with and without the shared subtree);
+      //  - a term-partitioned WINDOW over tf is single-pass but puts
+      //    every tf row of a hot term ("the" ~ every doc) in ONE
+      //    unsplittable partition — broken at web-corpus doc counts,
+      //    while the join form AQE-skew-splits.
+      // localCheckpoint pins tf once (the only Generate runs inside the
+      // eager checkpoint job — PlanSpec asserts the final plan has zero
+      // Generates over a checkpoint scan); df is a tiny keyed aggregate
+      // of the pinned rows; the join back is a plain AQE-splittable
+      // equi-join. Doc count rides as a 1-row crossJoin; ln at the 6dp
+      // cross-engine contract (libm-vs-JVM ulps sit far below 6dp, the
+      // q68 precedent).
       (s, d) => {
         val toks = table(s, d, "documents")
           .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
           .filter(length(col("term")) > 0)
         val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+          .localCheckpoint(true)
+        val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
         val nDocs = table(s, d, "documents").agg(count(lit(1)).as("__n"))
-        tf.withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
+        tf.join(dfT, Seq("term"))
           .crossJoin(nDocs)
           .withColumn("tfidf", round(col("tf") *
             log((col("__n") + 1).cast("double") / (col("df") + 1)), 6))
@@ -427,8 +438,9 @@ object DataQueries {
       // docs — the inverted-index retrieval op composed from the same
       // tokenize/tf/df aggregations as q79. ONE explode of the corpus
       // (the r4 plan paid it three times): tf filters the token stream
-      // to the query terms, df derives from tf via a term-partitioned
-      // window count (as q79 — no duplicated explode subtree), and dl
+      // to the query terms and is pinned with localCheckpoint (as q79 —
+      // a tiny frame, |terms| x matching docs), df is a <=|terms|-row
+      // aggregate of the pinned rows joined back broadcast, and dl
       // needs no explode at all — the per-doc nonempty-token count is
       // `size(regexp_extract_all(text, '[^ ]+'))`, a narrow codegen'd
       // per-row expression (maximal non-space runs == the nonempty
@@ -449,12 +461,14 @@ object DataQueries {
         val nDocs = table(s, d, "documents").agg(count(lit(1)).as("__n"))
         val tf = toks.filter(col("term").isin(terms: _*))
           .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+          .localCheckpoint(true)
+        val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
         val k1 = lit(1.2)
         val b = lit(0.75)
         val idf = log(lit(1.0) +
           (col("__n") - col("df") + 0.5) / (col("df") + 0.5))
         val norm = col("tf") + k1 * (lit(1.0) - b + b * col("dl") / col("__avgdl"))
-        tf.withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
+        tf.join(dfT, Seq("term"))
           .join(dl, Seq("doc_id"))
           .crossJoin(nDocs).crossJoin(avgdl)
           .withColumn("s_t", idf * col("tf") * (k1 + 1) / norm)

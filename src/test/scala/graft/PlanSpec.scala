@@ -148,16 +148,25 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
-  test("q79/q80: the corpus is tokenized exactly once (single Generate)") {
+  test("q79/q80: the corpus is tokenized exactly once (checkpointed tf)") {
     // r4 paid the text-column explode 2-3x per query (separate tf/df/dl
-    // subtrees); df now derives from the tf aggregate (ReusedExchange
-    // dedups the shared subtree) and q80's dl is a narrow per-row
-    // expression — the explode, the dominant cost at corpus scale, must
-    // appear exactly once in each physical plan
+    // subtrees). The tf aggregate is now pinned with an eager
+    // localCheckpoint — the ONLY Generate runs once inside the
+    // checkpoint job, and the final plan derives df and the join probe
+    // from the checkpoint scan (ExistingRDD): zero Generates may remain
+    // in the final plan, and the df attachment must be a join (AQE
+    // skew-splittable), never a term-partitioned window (a hot term
+    // would single-partition at corpus scale)
     Seq("q79_tfidf_top_terms", "q80_bm25_search").foreach { q =>
       val plan = planOf(SparkEntry.queries(q)(spark, sf))
       val nGenerate = plan.split("\\n").count(_.contains("Generate explode"))
-      assert(nGenerate == 1, s"$q: expected 1 Generate explode, got $nGenerate:\n$plan")
+      assert(nGenerate == 0, s"$q: expected 0 Generate explode (tokenize " +
+        s"must happen once inside the checkpoint job), got $nGenerate:\n$plan")
+      assert(plan.contains("ExistingRDD"), s"$q: no checkpoint scan:\n$plan")
+      // the doc_id-partitioned top-k window (q79) is fine; a
+      // term-partitioned one is not
+      assert(!plan.contains("windowspecdefinition(term"),
+        s"$q: df must not ride a term-partitioned window:\n$plan")
     }
   }
 
