@@ -20,7 +20,10 @@ import graft.streaming.StreamOps
   * SPARK_GRAFT_STATE_PROVIDER (hdfs|rocksdb, default hdfs) — rocksdb
   * selects the RocksDB state store (state spills off-heap/to disk;
   * the provider the 100x-state dedup/sessionization claim assumes,
-  * now benchable instead of asserted).
+  * now benchable instead of asserted),
+  * SPARK_GRAFT_STREAM_SURFACE (kg|sessions, default kg) — sessions
+  * benches [[graft.streaming.Sessions.gapSessionsState]] on a
+  * deterministic 2M-event feed instead of the KG front half.
   */
 object StreamBench {
   def main(args: Array[String]): Unit = {
@@ -52,6 +55,14 @@ object StreamBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    val surface = sys.env.getOrElse("SPARK_GRAFT_STREAM_SURFACE", "kg")
+    if (surface == "sessions") {
+      benchSessions(spark, cpus, stateProvider, filesPerTrigger)
+      spark.stop()
+      return
+    }
+    require(surface == "kg",
+      s"SPARK_GRAFT_STREAM_SURFACE '$surface': expected kg or sessions")
     val cfg = kgScale match {
       case "tiny" => Fixtures.tiny
       case "bench" => Fixtures.bench
@@ -128,5 +139,106 @@ object StreamBench {
       System.err.println(s"[stream-bench] record append failed: ${e.getMessage}")
     }
     spark.stop()
+  }
+
+  /** Sessionization surface (SPARK_GRAFT_STREAM_SURFACE=sessions): a
+    * deterministic 2M-event feed (50k users; each user's events 20 s
+    * apart with a 60 s jump every 4th event, so 4-event sessions close
+    * continuously against a 30 s gap) replayed as 16 time-ordered
+    * parquet micro-batch files through the pending-session-list
+    * [[graft.streaming.Sessions.gapSessionsState]] with a 10 s
+    * watermark. Measures events/s and per-trigger state (rows should
+    * hold steady at ~active users — the bound the event-time timeout
+    * exists to enforce — not grow with ever-seen users).
+    */
+  private def benchSessions(spark: SparkSession, cpus: String,
+      stateProvider: String, filesPerTrigger: Int): Unit = {
+    import spark.implicits._
+    val nEvents = 2000000L
+    val users = 50000L
+    val nFiles = 16
+    val gapMs = 30000L
+    val inDir = "/tmp/graft-streambench-sessions"
+    val ev = spark.range(nEvents).select(
+      col("id").as("event_id"),
+      // integer DIV, not `/` (Column./ is double division — a
+      // fractional seq turns the every-4th-event 60 s session jump
+      // into a continuous 15 s/event drift that splits every event)
+      (lit(1700000000L) + expr(s"(id DIV $users) * 20") +
+        expr(s"((id DIV $users) DIV 4) * 60")).cast("timestamp").as("ts"),
+      pmod(col("id"), lit(users)).as("user_id"),
+      element_at(array(lit("click"), lit("view"), lit("buy")),
+        (pmod(xxhash64(col("id")), lit(3L)) + 1).cast("int")).as("event_type"),
+      (pmod(xxhash64(col("id"), lit(7L)), lit(1000L)).cast("double") / 100.0)
+        .as("value"))
+    val staged = java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$inDir/b015.parquet")) &&
+      spark.read.parquet(inDir).count() == nEvents
+    if (!staged) {
+      scala.reflect.io.Directory(new java.io.File(inDir)).deleteRecursively()
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(inDir))
+      val per = nEvents / nFiles
+      // one file per contiguous id range, written in order: the file
+      // source lists by mtime, so replay order == event-time order
+      (0 until nFiles).foreach { i =>
+        val tmp = java.nio.file.Files.createTempDirectory("graft-sess-stage")
+        ev.filter(col("event_id") >= i * per && col("event_id") < (i + 1) * per)
+          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = {
+          val s = java.nio.file.Files.list(tmp)
+          try s.filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+          finally s.close()
+        }
+        java.nio.file.Files.move(part, java.nio.file.Paths.get(
+          f"$inDir/b$i%03d.parquet"))
+      }
+    }
+    val checkpoint = java.nio.file.Files
+      .createTempDirectory("graft-sessbench-ckpt").toString
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft-sessbench-out").toString
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", filesPerTrigger)
+      .parquet(inDir)
+      .withWatermark("ts", "10 seconds")
+      .as[StreamOps.Event]
+    val t0 = System.nanoTime()
+    val q = graft.streaming.Sessions.gapSessionsState(stream, gapMs)
+      .writeStream.outputMode(
+        org.apache.spark.sql.streaming.OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .format("parquet").option("path", outDir)
+      .start()
+    q.processAllAvailable()
+    val wall = (System.nanoTime() - t0) / 1e9
+    val progress = q.recentProgress.toSeq
+    q.stop()
+    val sessionsOut = spark.read.parquet(outDir).count()
+    val triggers = progress.filter(_.numInputRows > 0)
+    val perTrigger = triggers.map { p =>
+      val so = p.stateOperators.headOption
+      s"""{"input_rows":${p.numInputRows},"batch_ms":${p.durationMs.get("triggerExecution")},""" +
+        s""""state_rows":${so.map(_.numRowsTotal).getOrElse(0L)}}"""
+    }.mkString("[", ",", "]")
+    val lastState = triggers.lastOption.flatMap(_.stateOperators.headOption)
+    val json =
+      s"""{"metric":"stream_sessions","cpus":$cpus,""" +
+        s""""state_provider":"$stateProvider","events":$nEvents,""" +
+        s""""users":$users,"sessions_out":$sessionsOut,"wall_sec":$wall,""" +
+        s""""events_per_sec":${nEvents / wall},"n_triggers":${triggers.size},""" +
+        s""""files_per_trigger":$filesPerTrigger,""" +
+        s""""state_rows":${lastState.map(_.numRowsTotal).getOrElse(0L)},""" +
+        s""""state_bytes":${lastState.map(_.memoryUsedBytes).getOrElse(0L)},""" +
+        s""""triggers":$perTrigger}"""
+    println(json)
+    try {
+      val p = java.nio.file.Paths.get("/root/repo/BENCH/stream_bench.jsonl")
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p, (json + "\n").getBytes("UTF-8"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+    } catch { case e: Throwable =>
+      System.err.println(s"[stream-bench] record append failed: ${e.getMessage}")
+    }
   }
 }
