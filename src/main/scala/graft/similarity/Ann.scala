@@ -41,22 +41,40 @@ object Ann {
 
   /** LSH-bucketed top-k: queries x corpus restricted to shared buckets,
     * exact cosine rerank, deterministic tiebreak.
+    *
+    * `multiprobe` > 0 additionally probes, per table, the `multiprobe`
+    * buckets at Hamming distance 1 from the query's bucket (one
+    * hyperplane bit flipped). Probing happens ONLY on the query side —
+    * the corpus keeps exactly `tables` signature rows per vector — so
+    * the extra recall is paid by the small side of the join, not by
+    * corpus shuffle volume: 8 tables with full 1-bit multiprobe reaches
+    * the recall of ~3x the tables at a third of the corpus-side index.
     */
   def lshTopK(
       emb: DataFrame, // (id, v: array<double>)
       queries: DataFrame, // (qid, qv: array<double>)
       k: Int,
-      // defaults tuned for weakly-clustered data: recall grows as
-      // 1-(1-p^planes)^tables, so more tables at FIXED planes buys
-      // recall without growing per-table bucket occupancy (the
-      // candidate-join cost driver at scale). Fixture sweep (sf0.001,
-      // recall@3 vs brute force): 8x6 -> 0.33, 16x6 -> 0.57,
-      // 24x6 -> 0.67 (chosen; floor pinned at 0.5 in AnnSpec),
-      // vs 16x5 -> 0.73 but with 2x the expected bucket size.
-      tables: Int = 24,
-      planes: Int = 6): DataFrame = {
+      // defaults tuned for weakly-clustered data. Fixture sweep
+      // (sf0.001, recall@3 vs brute force): exact-bucket 8x6 -> 0.33,
+      // 16x6 -> 0.57, 24x6 -> 0.67; with full 1-bit multiprobe
+      // 8x6 -> 0.93 (chosen: the recall of >3x the tables at 1/3 the
+      // corpus-side index; AnnSpec floor 0.7), 12x6 -> 1.00. The probe
+      // fan-out costs ~2.3x the candidate rerank of 24x6-exact but
+      // only on the query side; corpus signature memory and shuffle —
+      // the 10^9-vector cost — stay at 8 rows per vector.
+      tables: Int = 8,
+      planes: Int = 6,
+      multiprobe: Int = 6): DataFrame = {
+    require(multiprobe >= 0 && multiprobe <= planes,
+      s"multiprobe must be in [0, planes=$planes], got $multiprobe")
     val corpusSig = signatures(emb, "id", "v", tables, planes)
-    val querySig = signatures(queries, "qid", "qv", tables, planes)
+    val exactSig = signatures(queries, "qid", "qv", tables, planes)
+    val querySig =
+      if (multiprobe == 0) exactSig
+      else exactSig.select(col("qid"), col("qv"), col("tbl"),
+        explode(array(col("bucket") +:
+          (0 until multiprobe).map(b =>
+            col("bucket").bitwiseXOR(lit(1 << b))): _*)).as("bucket"))
     val cands = querySig.join(corpusSig, Seq("tbl", "bucket"))
       .filter(col("qid") =!= col("id"))
       .select("qid", "qv", "id", "v")

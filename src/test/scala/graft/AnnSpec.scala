@@ -39,11 +39,11 @@ class AnnSpec extends AnyFunSuite {
       .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nn_id"))).toSet
     val recall = (brute intersect lsh).size.toDouble / brute.size
     info(f"recall@3 = $recall%.2f (lsh pairs=${lsh.size}, brute=${brute.size})")
-    // floor pinned at ~75% of the measured fixture recall (0.67 at the
-    // r5 default 24 tables x 6 planes, fully deterministic: hash-seeded
-    // planes, no rand) — a broken index fails loudly instead of
-    // slipping under a vacuous 0.1 bar
-    assert(recall >= 0.5, f"recall collapsed: $recall%.2f (fixture measures 0.67)")
+    // floor pinned at ~75% of the measured fixture recall (0.93 at the
+    // r5 default 8 tables x 6 planes with full 1-bit multiprobe, fully
+    // deterministic: hash-seeded planes, no rand) — a broken index
+    // fails loudly instead of slipping under a vacuous 0.1 bar
+    assert(recall >= 0.7, f"recall collapsed: $recall%.2f (fixture measures 0.93)")
   }
 
   test("IVF top-k: deterministic, valid shape, recall beats random") {
