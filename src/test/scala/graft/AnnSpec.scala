@@ -62,8 +62,10 @@ class AnnSpec extends AnyFunSuite {
     val ivf = a.map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nn_id"))).toSet
     val recall = (brute intersect ivf).size.toDouble / brute.size
     info(f"IVF recall@3 = $recall%.2f (ivf pairs=${ivf.size}, brute=${brute.size})")
-    // pinned to ~75% of the measured deterministic fixture recall (0.67)
-    assert(recall >= 0.5, f"recall collapsed: $recall%.2f (fixture measures 0.67)")
+    // pinned to ~75% of the measured deterministic fixture recall
+    // (0.83 at the r5 default c=32/nprobe=8 — same scanned fraction as
+    // the old c=16/nprobe=4, finer quantization)
+    assert(recall >= 0.6, f"recall collapsed: $recall%.2f (fixture measures 0.83)")
   }
 
   test("IVF index: every vector assigned to its true max-cosine centroid") {
