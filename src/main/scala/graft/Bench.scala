@@ -210,9 +210,13 @@ object Bench {
     // Full-protocol runs (the driver's shape: every query, single rep,
     // whole fixture) additionally APPEND to an in-repo history so each
     // round's complete record survives the harness truncation without
-    // ever overwriting the curated clean-window file.
+    // ever overwriting the curated clean-window file. A run that sets
+    // SPARK_GRAFT_BENCH_OUT is an explicitly-routed experiment (record
+    // captures, smoke runs at other sf dirs) and stays out of the
+    // history — only env-less driver-shaped runs land there.
     val fullProtocol =
-      !skipQueries && onlyQ.isEmpty && qReps == 1 && bucketRange.isEmpty
+      !skipQueries && onlyQ.isEmpty && qReps == 1 && bucketRange.isEmpty &&
+        sys.env.get("SPARK_GRAFT_BENCH_OUT").isEmpty
     if (fullProtocol) {
       try {
         val p = java.nio.file.Paths.get("/root/repo/BENCH/bench_history.jsonl")

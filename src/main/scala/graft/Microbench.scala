@@ -114,6 +114,13 @@ object Microbench {
         TripleExtract.assertions(pages), inputs.aliasDict, inputs.entityKeywords)
         .write.mode("overwrite").parquet(linkedDir)
     }
+    // touch the cache dir on USE: reads don't update mtime, so without
+    // this a long-running JVM's in-use cache would look idle to a
+    // concurrent different-key run's 30-min eviction sweep
+    try java.nio.file.Files.setLastModifiedTime(
+      java.nio.file.Paths.get(linkedDir),
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
+    catch { case _: Throwable => () }
     val linked = spark.read.parquet(linkedDir)
     time("evidence_agg")(
       graft.prune.AssertionPruning.evidence(linked).count())

@@ -171,8 +171,16 @@ object StreamBench {
         (pmod(xxhash64(col("id")), lit(3L)) + 1).cast("int")).as("event_type"),
       (pmod(xxhash64(col("id"), lit(7L)), lit(1000L)).cast("double") / 100.0)
         .as("value"))
-    val staged = java.nio.file.Files.exists(
-      java.nio.file.Paths.get(s"$inDir/b015.parquet")) &&
+    // staleness guard: the row count is invariant to the ts/value
+    // formulas (always exactly nEvents), so a count-only check would
+    // replay a stale feed after any generator fix — the marker pins
+    // the generator version + parameters and must match exactly
+    val genParams =
+      s"v2 n=$nEvents users=$users files=$nFiles step=20 jump=60 perSession=4"
+    val markerPath = java.nio.file.Paths.get(s"$inDir/_params")
+    val staged = java.nio.file.Files.exists(markerPath) &&
+      new String(java.nio.file.Files.readAllBytes(markerPath),
+        "UTF-8") == genParams &&
       spark.read.parquet(inDir).count() == nEvents
     if (!staged) {
       scala.reflect.io.Directory(new java.io.File(inDir)).deleteRecursively()
@@ -192,6 +200,8 @@ object StreamBench {
         java.nio.file.Files.move(part, java.nio.file.Paths.get(
           f"$inDir/b$i%03d.parquet"))
       }
+      // marker last: a partially-staged dir never passes the guard
+      java.nio.file.Files.write(markerPath, genParams.getBytes("UTF-8"))
     }
     val checkpoint = java.nio.file.Files
       .createTempDirectory("graft-sessbench-ckpt").toString

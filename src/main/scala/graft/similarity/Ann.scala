@@ -65,15 +65,18 @@ object Ann {
       tables: Int = 8,
       planes: Int = 6,
       multiprobe: Int = 6): DataFrame = {
-    require(multiprobe >= 0 && multiprobe <= planes,
-      s"multiprobe must be in [0, planes=$planes], got $multiprobe")
+    require(multiprobe >= 0, s"multiprobe must be >= 0, got $multiprobe")
+    // clamp, don't throw: probing more bits than there are planes is
+    // meaningless, and a fixed default must not break explicit
+    // shorter-signature calls (planes < 6)
+    val mp = math.min(multiprobe, planes)
     val corpusSig = signatures(emb, "id", "v", tables, planes)
     val exactSig = signatures(queries, "qid", "qv", tables, planes)
     val querySig =
-      if (multiprobe == 0) exactSig
+      if (mp == 0) exactSig
       else exactSig.select(col("qid"), col("qv"), col("tbl"),
         explode(array(col("bucket") +:
-          (0 until multiprobe).map(b =>
+          (0 until mp).map(b =>
             col("bucket").bitwiseXOR(lit(1 << b))): _*)).as("bucket"))
     val cands = querySig.join(corpusSig, Seq("tbl", "bucket"))
       .filter(col("qid") =!= col("id"))

@@ -96,6 +96,22 @@ class StreamingSpec extends AnyFunSuite {
     * past every real session's end so they all finalize. Returns the
     * watched dir; feed with maxFilesPerTrigger=1.
     */
+  /** Write df as ONE parquet part file named `name` in `dir` — the
+    * micro-batch staging primitive every streaming test here uses (the
+    * file source lists by mtime, so staging order == replay order).
+    * Closes the directory listing stream (it holds an fd).
+    */
+  private def stageBatchFile(dir: java.nio.file.Path, name: String,
+      df: org.apache.spark.sql.DataFrame): Unit = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-stage-batch")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val s = java.nio.file.Files.list(tmp)
+    val part =
+      try s.filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+      finally s.close()
+    java.nio.file.Files.move(part, dir.resolve(name))
+  }
+
   private def stagedSessionFeed(): (String, org.apache.spark.sql.DataFrame) = {
     val ev = spark.read.parquet(s"$sf/events.parquet")
       .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
@@ -108,16 +124,9 @@ class StreamingSpec extends AnyFunSuite {
       lit(-1L).as("user_id"), lit("flush").as("event_type"),
       lit(0.0).as("value"))
     val dir = java.nio.file.Files.createTempDirectory("graft-stream-sess")
-    def stage(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
-      val tmp = java.nio.file.Files.createTempDirectory("graft-sess-batch")
-      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = java.nio.file.Files.list(tmp)
-        .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
-      java.nio.file.Files.move(part, dir.resolve(name))
-    }
-    stage("b1.parquet", ev.filter(col("ts").cast("double") <= cut))
-    stage("b2.parquet", ev.filter(col("ts").cast("double") > cut))
-    stage("b3.parquet", sentinel)
+    stageBatchFile(dir, "b1.parquet", ev.filter(col("ts").cast("double") <= cut))
+    stageBatchFile(dir, "b2.parquet", ev.filter(col("ts").cast("double") > cut))
+    stageBatchFile(dir, "b3.parquet", sentinel)
     (dir.toString, ev)
   }
 
@@ -204,14 +213,9 @@ class StreamingSpec extends AnyFunSuite {
         .sortBy(_._2).map(_._1)
       val dir = java.nio.file.Files.createTempDirectory(s"graft-ooo-sess-$seed")
       def stage(name: String,
-          batch: Seq[(Long, java.sql.Timestamp, Long, String, Double)]): Unit = {
-        val tmp = java.nio.file.Files.createTempDirectory("graft-ooo-batch")
-        batch.toDF("event_id", "ts", "user_id", "event_type", "value")
-          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-        val part = java.nio.file.Files.list(tmp)
-          .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
-        java.nio.file.Files.move(part, dir.resolve(name))
-      }
+          batch: Seq[(Long, java.sql.Timestamp, Long, String, Double)]): Unit =
+        stageBatchFile(dir, name,
+          batch.toDF("event_id", "ts", "user_id", "event_type", "value"))
       val perBatch = math.max(1, arrival.length / 5 + 1)
       arrival.grouped(perBatch).zipWithIndex.foreach { case (g, i) =>
         stage(f"b$i%03d.parquet", g)
@@ -240,14 +244,10 @@ class StreamingSpec extends AnyFunSuite {
     val dir = java.nio.file.Files.createTempDirectory("graft-late-sess")
     def ev(id: Long, hhmm: String, user: Long = 1L) =
       (id, java.sql.Timestamp.valueOf(s"2026-01-01 $hhmm:00"), user, "click", 1.0)
-    def stage(name: String, rows: Seq[(Long, java.sql.Timestamp, Long, String, Double)]): Unit = {
-      val tmp = java.nio.file.Files.createTempDirectory("graft-late-batch")
-      rows.toDF("event_id", "ts", "user_id", "event_type", "value")
-        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = java.nio.file.Files.list(tmp)
-        .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
-      java.nio.file.Files.move(part, dir.resolve(name))
-    }
+    def stage(name: String,
+        rows: Seq[(Long, java.sql.Timestamp, Long, String, Double)]): Unit =
+      stageBatchFile(dir, name,
+        rows.toDF("event_id", "ts", "user_id", "event_type", "value"))
     // batch 1: 10:10, 10:20 -> watermark 09:20. batch 2: LATE 10:00
     // (allowed) — must extend the open session BACKWARDS to 10:00.
     stage("b1.parquet", Seq(ev(1, "10:10"), ev(2, "10:20")))
@@ -322,13 +322,8 @@ class StreamingSpec extends AnyFunSuite {
       .select("url", "text", "lang")
     // stage as two micro-batch files, duplicating a page across batches
     // (cross-batch dedup must drop the re-crawl)
-    def stage(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
-      val tmp = java.nio.file.Files.createTempDirectory("graft-kg-batch")
-      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = java.nio.file.Files.list(tmp)
-        .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
-      java.nio.file.Files.move(part, dir.resolve(name))
-    }
+    def stage(name: String, df: org.apache.spark.sql.DataFrame): Unit =
+      stageBatchFile(dir, name, df)
     val firstHalf = pages.filter(xxhash64(col("url")) % 2 === 0)
     val recrawl = firstHalf.limit(20) // same (url, text): dup fingerprints
     stage("b1.parquet", firstHalf)

@@ -11,6 +11,9 @@ SCALE=${SCALE:-xxbench}
 OUT=${OUT:-/tmp/scaling_pair}
 LEVELS=${LEVELS:-"16:4 4:2"}
 mkdir -p "$OUT"
+# absolutize before the cd below — a relative OUT would otherwise be
+# created here but written to under the repo root
+OUT=$(cd "$OUT" && pwd)
 cd "$(dirname "$0")/.."
 for lvl in $LEVELS; do
   c=${lvl%%:*}; reps=${lvl##*:}
