@@ -643,6 +643,67 @@ object DataQueries {
               |SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
               |FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id""".stripMargin)),
 
+    QueryDef("q81_dedup_clusters",
+      // Near-dup cluster canonicalization — the last step of web-scale
+      // dedup: q40's banded-minhash candidate pairs become an edge set,
+      // connected components group transitively-linked near-dups into
+      // clusters, and exactly one document per cluster survives
+      // (keep = the min doc_id, the component id itself). Docs with no
+      // near-dup pair (or <3 tokens, no signature) are singletons that
+      // keep themselves. Scale shape: CC runs only on the near-dup
+      // PAIR graph (tiny vs the corpus; large-star/small-star when it
+      // outgrows the driver fast path), the corpus touches it once via
+      // a left join, and cluster sizes are a keyed aggregation —
+      // near-dup clusters are small by construction, so no skew.
+      // Oracle: q40's pair SQL + the q27 recursive-CTE transitive
+      // closure + keep/size derivation.
+      (s, d) => {
+        val sig = table(s, d, "documents")
+          .select(col("doc_id"),
+            graft.functions.Md5MinHash.of(col("text"), n = 3, k = 2).as("sg"))
+          .filter(col("sg").isNotNull)
+          .select(col("doc_id"), element_at(col("sg"), 1).as("s0"),
+            element_at(col("sg"), 2).as("s1"))
+        val bands = sig.select(col("doc_id"), concat(lit("0:"), col("s0")).as("band"))
+          .unionAll(sig.select(col("doc_id"), concat(lit("1:"), col("s1")).as("band")))
+        val pairs = bands.join(bands.withColumnRenamed("doc_id", "id2"), Seq("band"))
+          .filter(col("doc_id") < col("id2"))
+          .select(col("doc_id").as("src"), col("id2").as("dst")).distinct()
+        val cc = graft.canon.ConnectedComponents.run(pairs)
+          .select(col("id").as("doc_id"), col("component").as("cluster"))
+        val all = table(s, d, "documents").select(col("doc_id"))
+          .join(cc, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("cluster"), col("doc_id")).as("cluster"))
+        val sz = all.groupBy("cluster").agg(count(lit(1)).as("n_cluster"))
+        all.join(sz, Seq("cluster"))
+          .select(col("doc_id"), col("cluster"),
+            (col("doc_id") === col("cluster")).as("keep"), col("n_cluster"))
+      },
+      Some(s"""WITH RECURSIVE docs AS (SELECT doc_id, string_split(text, ' ') AS t
+              |             FROM documents),
+              |sh AS (SELECT doc_id, $shinglesSqlDuck AS sh FROM docs WHERE len(t) >= 3),
+              |sig AS (SELECT doc_id,
+              |  ${minhashSqlDuck(0)} AS s0, ${minhashSqlDuck(1)} AS s1 FROM sh),
+              |bands AS (SELECT doc_id, '0:' || s0 AS band FROM sig
+              |          UNION ALL SELECT doc_id, '1:' || s1 FROM sig),
+              |pairs AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+              |          FROM bands a JOIN bands b
+              |            ON a.band = b.band AND a.doc_id < b.doc_id),
+              |und AS (SELECT id1 AS a, id2 AS b FROM pairs
+              |        UNION SELECT id2, id1 FROM pairs),
+              |reach(root, node) AS (
+              |  SELECT a, a FROM und
+              |  UNION
+              |  SELECT r.root, u.b FROM reach r JOIN und u ON r.node = u.a),
+              |comp AS (SELECT node AS doc_id, min(root) AS cluster
+              |         FROM reach GROUP BY node),
+              |alld AS (SELECT d.doc_id, coalesce(c.cluster, d.doc_id) AS cluster
+              |         FROM documents d LEFT JOIN comp c USING (doc_id)),
+              |sz AS (SELECT cluster, count(*) AS n_cluster FROM alld GROUP BY cluster)
+              |SELECT a.doc_id, a.cluster, (a.doc_id = a.cluster) AS keep, s.n_cluster
+              |FROM alld a JOIN sz s USING (cluster)""".stripMargin)),
+
     QueryDef("q41_ngram_jaccard",
       // n-gram Jaccard near-dup over a bounded candidate set
       (s, d) => {
