@@ -333,6 +333,85 @@ object DataQueries {
              |        CAST(len(list_filter(t, x -> x IN ('the','a','of'))) AS DOUBLE) / len(t) * 0.5, 6) AS quality
              |FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents) d""".stripMargin)),
 
+    QueryDef("q82_quality_filter",
+      // The curation DECISION operator every training-data pipeline
+      // ends with: a first-fail rule cascade (Gopher/C4-style) over the
+      // per-doc quality signals — min length, mean token length band,
+      // stopword floor, duplicate-3-gram ceiling — emitting keep/drop
+      // with the failing rule as the reason. ONE narrow per-row pass,
+      // no joins, no shuffle: trivially scalable. Ratios are exact
+      // micro-unit integers (integral DIV, the AUC/MRR discipline), so
+      // the oracle hash-matches by construction. The fixture text is
+      // uniformly clean, so degradations are planted deterministically
+      // IN-QUERY with identical CASE/repeat expressions in both
+      // engines (the q70 PII pattern) — every branch is exercised.
+      (s, d) => {
+        val planted =
+          """CASE WHEN doc_id % 11 = 0 THEN 'a b'
+            |     WHEN doc_id % 13 = 0 THEN 'the ' || repeat('spam ', 30)
+            |     WHEN doc_id % 17 = 0 THEN 'alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo'
+            |     WHEN doc_id % 19 = 0 THEN repeat('abcdefghijklmnopqrst ', 12)
+            |     ELSE text END""".stripMargin
+        table(s, d, "documents")
+          .withColumn("aug", expr(planted))
+          .withColumn("t", expr("filter(split(aug, ' '), x -> length(x) > 0)"))
+          .withColumn("n_tokens", expr("size(t)").cast("long"))
+          .withColumn("sum_len",
+            expr("aggregate(t, 0L, (acc, x) -> acc + length(x))"))
+          .withColumn("n_stop",
+            expr("size(filter(t, x -> x in ('the','a','of','and')))").cast("long"))
+          .withColumn("sh",
+            when(size(col("t")) >= 3, shingles(col("t"))))
+          .withColumn("mean_len_micro", expr(
+            "CASE WHEN n_tokens = 0 THEN NULL ELSE (sum_len * 1000000) DIV n_tokens END"))
+          .withColumn("stop_micro", expr(
+            "CASE WHEN n_tokens = 0 THEN NULL ELSE (n_stop * 1000000) DIV n_tokens END"))
+          .withColumn("rep_micro", expr(
+            "CASE WHEN sh IS NULL OR size(sh) = 0 THEN NULL " +
+              "ELSE ((size(sh) - size(array_distinct(sh))) * CAST(1000000 AS BIGINT)) DIV size(sh) END"))
+          .withColumn("reason", expr(
+            """CASE WHEN n_tokens < 10 THEN 'too_short'
+              |     WHEN mean_len_micro < 2500000 OR mean_len_micro > 12000000 THEN 'bad_token_len'
+              |     WHEN stop_micro < 10000 THEN 'low_stopword'
+              |     WHEN rep_micro IS NOT NULL AND rep_micro > 50000 THEN 'repetitive'
+              |     ELSE 'keep' END""".stripMargin))
+          .withColumn("keep", col("reason") === "keep")
+          .select("doc_id", "n_tokens", "mean_len_micro", "stop_micro",
+            "rep_micro", "reason", "keep")
+      },
+      Some(s"""WITH aug AS (SELECT doc_id,
+              |  CASE WHEN doc_id % 11 = 0 THEN 'a b'
+              |       WHEN doc_id % 13 = 0 THEN 'the ' || repeat('spam ', 30)
+              |       WHEN doc_id % 17 = 0 THEN 'alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo'
+              |       WHEN doc_id % 19 = 0 THEN repeat('abcdefghijklmnopqrst ', 12)
+              |       ELSE text END AS aug FROM documents),
+              |d AS (SELECT doc_id,
+              |  list_filter(string_split(aug, ' '), x -> length(x) > 0) AS t
+              |  FROM aug),
+              |m AS (SELECT doc_id, t, len(t) AS n_tokens,
+              |  list_sum(list_transform(t, x -> length(x))) AS sum_len,
+              |  len(list_filter(t, x -> x IN ('the','a','of','and'))) AS n_stop,
+              |  CASE WHEN len(t) >= 3 THEN $shinglesSqlDuck END AS sh
+              |  FROM d),
+              |x AS (SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+              |  CASE WHEN n_tokens = 0 THEN NULL
+              |       ELSE (CAST(sum_len AS BIGINT) * 1000000) // n_tokens END AS mean_len_micro,
+              |  CASE WHEN n_tokens = 0 THEN NULL
+              |       ELSE (CAST(n_stop AS BIGINT) * 1000000) // n_tokens END AS stop_micro,
+              |  CASE WHEN sh IS NULL OR len(sh) = 0 THEN NULL
+              |       ELSE ((len(sh) - len(list_distinct(sh))) * CAST(1000000 AS BIGINT)) // len(sh) END AS rep_micro
+              |  FROM m),
+              |r AS (SELECT *,
+              |  CASE WHEN n_tokens < 10 THEN 'too_short'
+              |       WHEN mean_len_micro < 2500000 OR mean_len_micro > 12000000 THEN 'bad_token_len'
+              |       WHEN stop_micro < 10000 THEN 'low_stopword'
+              |       WHEN rep_micro IS NOT NULL AND rep_micro > 50000 THEN 'repetitive'
+              |       ELSE 'keep' END AS reason
+              |  FROM x)
+              |SELECT doc_id, n_tokens, mean_len_micro, stop_micro, rep_micro,
+              |       reason, (reason = 'keep') AS keep
+              |FROM r""".stripMargin)),
+
     QueryDef("q37_langid",
       // n-gram/stopword-heuristic language id
       (s, d) => {

@@ -43,7 +43,7 @@ class DriverContractSpec extends AnyFunSuite {
       "q63_target_component", "q64_row_chunk", "q65_community_subgraph",
       "q69_ann_ivf_topk", "q70_pii_redact", "q71_repetition_ratio",
       "q72_protate_score", "q73_url_normalize", "q74_bpe_pretokenize",
-      "q75_cdc_rolling_hash", "q81_dedup_clusters")
+      "q75_cdc_rolling_hash", "q81_dedup_clusters", "q82_quality_filter")
     mustBeNonEmpty.foreach { name =>
       assert(SparkEntry.queries(name)(spark, sf).count() > 0, name)
     }
