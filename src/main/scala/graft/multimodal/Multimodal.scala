@@ -8,15 +8,28 @@ import graft.core.Ids
 /** Multimodal column plumbing: image/audio/video as opaque binary
   * columns with typed metadata (builder-prompt requirement).
   *
-  * The DECODE step is a clearly-marked STUB (no codec libraries ship in
-  * this container): [[decodeStub]] produces a deterministic fake feature
-  * vector from the bytes. Everything Spark-side is real and tested —
+  * IMAGES decode for REAL: the JDK ships PNG/JPEG/BMP/GIF codecs
+  * (`javax.imageio.ImageIO` — public standard library, headless-safe),
+  * so [[decodeImage]] is an actual decoder and [[encodePng]] an actual
+  * encoder; because PNG over TYPE_INT_RGB is lossless, the
+  * encode→bytes→decode round-trip is bit-exact, which is what lets the
+  * q83 DuckDB oracle hash-check the whole codec path (the oracle
+  * recomputes pooled features from the closed-form pixel generator
+  * [[synthGray]] — equality holds iff the engine's real round-trip
+  * preserved every pixel). AUDIO/VIDEO payloads remain clearly-marked
+  * STUBS (no audio/video codec ships in the JVM or this container):
+  * [[decodeStub]] produces a deterministic fake feature vector from the
+  * bytes. Everything Spark-side is identical between the two paths —
   * schema, batched mapPartitions shape (the Scala analogue of
   * mapInPandas: fixed-size batches through the per-partition iterator),
   * partition balancing, and the downstream feature-vector contract
   * (Array[Float], ready for the similarity operators).
   */
 object Multimodal {
+
+  // ImageIO needs no display, but pin headless before any AWT class
+  // initializes so executor threads can never trip an X11 probe
+  System.setProperty("java.awt.headless", "true")
 
   final case class MediaRow(
       media_id: Long,
@@ -51,9 +64,105 @@ object Multimodal {
     out
   }
 
+  // ------------------------------------------------ real image codec
+
+  /** Synthetic grayscale pixel generator — the closed-form ground truth
+    * the q83 oracle recomputes in DuckDB. Plain integer arithmetic on
+    * purpose (not a crypto hash): the property under test is the codec
+    * round-trip, not the pixel distribution, and the formula must be
+    * one SQL expression.
+    */
+  def synthGray(id: Long, x: Int, y: Int): Int =
+    ((id * 31 + x * 7 + y * 13) % 256).toInt
+
+  /** Real PNG encode of the synthetic image for `id` via the JDK codec.
+    * TYPE_INT_RGB + PNG is lossless, so decode(encodePng(id)) recovers
+    * [[synthGray]] exactly.
+    */
+  def encodePng(id: Long, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val g = synthGray(id, x, y)
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream(w * h / 2 + 64)
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** PNG magic sniff — the featurize dispatch guard. */
+  def isPng(payload: Array[Byte]): Boolean =
+    payload.length > 8 &&
+      payload(0) == 0x89.toByte && payload(1) == 'P' &&
+      payload(2) == 'N' && payload(3) == 'G'
+
+  /** REAL decode: JDK ImageIO → gray (blue channel) block sums over a
+    * `blocks`×`blocks` grid — exact integers, so the q83 oracle hashes
+    * them with no float tolerance. Row-major blocks, row-major pixels
+    * within a block. Loud on corrupt bytes: a payload that sniffed as
+    * PNG but fails to decode is broken input, never silently fake
+    * features.
+    */
+  def decodeImageBlockSums(payload: Array[Byte], blocks: Int): Array[Long] =
+    poolSums(decodePng(payload), blocks)
+
+  private def decodePng(payload: Array[Byte]): java.awt.image.BufferedImage = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    require(img != null, s"undecodable image payload (${payload.length} bytes)")
+    img
+  }
+
+  private def poolSums(img: java.awt.image.BufferedImage, blocks: Int): Array[Long] = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    require(w % blocks == 0 && h % blocks == 0,
+      s"image ${w}x$h not divisible into ${blocks}x$blocks blocks")
+    val (bw, bh) = (w / blocks, h / blocks)
+    val out = new Array[Long](blocks * blocks)
+    var by = 0
+    while (by < blocks) {
+      var bx = 0
+      while (bx < blocks) {
+        var s = 0L
+        var dy = 0
+        while (dy < bh) {
+          var dx = 0
+          while (dx < bw) {
+            s += (img.getRGB(bx * bw + dx, by * bh + dy) & 0xFF)
+            dx += 1
+          }
+          dy += 1
+        }
+        out(by * blocks + bx) = s
+        bx += 1
+      }
+      by += 1
+    }
+    out
+  }
+
+  /** Real image features on the [[MediaFeatures]] contract: 4×4 block
+    * means normalized to [-0.5, 0.5) — same shape/range as the stub so
+    * the downstream similarity seam is path-agnostic.
+    */
+  def decodeImage(payload: Array[Byte]): Array[Float] = {
+    val img = decodePng(payload)
+    val per = (img.getWidth / 4) * (img.getHeight / 4)
+    poolSums(img, 4).map(s => (s.toFloat / per / 255f) - 0.5f)
+  }
+
   /** Batched featurization: fixed-size batches through each partition
     * iterator (the mapInPandas batch shape), repartitioned by media_id
-    * so decode work balances even when payload sizes skew.
+    * so decode work balances even when payload sizes skew. Dispatch:
+    * image rows whose payload really is a PNG go through the REAL JDK
+    * decoder; everything else (audio/video, non-image bytes) keeps the
+    * declared stub.
     */
   def featurize(media: Dataset[MediaRow], partitions: Int): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
@@ -63,7 +172,10 @@ object Multimodal {
         it.grouped(batchSize).flatMap { batch =>
           // batch boundary = where a vectorized decoder would be invoked
           batch.iterator.map { m =>
-            MediaFeatures(m.media_id, m.kind, m.payload.length, decodeStub(m.payload))
+            val feats =
+              if (m.kind == "image" && isPng(m.payload)) decodeImage(m.payload)
+              else decodeStub(m.payload)
+            MediaFeatures(m.media_id, m.kind, m.payload.length, feats)
           }
         }
       }
@@ -97,6 +209,41 @@ object Multimodal {
       lit(640).as("width"),
       lit(480).as("height"))
       .as[MediaRow]
+  }
+
+  /** Media table of REAL PNG payloads over the driver `documents`
+    * fixture: one 16×16 synthetic image per doc_id, encoded by the JDK
+    * PNG codec in the executors (narrow per-row work, zero shuffle —
+    * the fixture analogue of reading image bytes out of an Iceberg
+    * binary column). Feeds q83, whose oracle hash-checks the full
+    * encode→decode round-trip against [[synthGray]].
+    */
+  def mediaFromDocsImages(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].map { id =>
+      MediaRow(id, "image", encodePng(id, 16, 16), 16, 16)
+    }
+  }
+
+  /** Decoded block-sum features for a media table of real images:
+    * (media_id, width, height, feat_str) with feat_str the comma-joined
+    * exact integer 4×4 block sums — the q83 output shape (strings keep
+    * the driver comparator scalar-only; integers need no float
+    * tolerance).
+    */
+  def imageBlockSums(media: Dataset[MediaRow], partitions: Int): DataFrame = {
+    import media.sparkSession.implicits._
+    media
+      .repartition(partitions, col("media_id"))
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.iterator.map { m =>
+            (m.media_id, m.width, m.height,
+              decodeImageBlockSums(m.payload, 4).mkString(","))
+          }
+        }
+      }
+      .toDF("media_id", "width", "height", "feat_str")
   }
 
   /** Media table over the driver `documents` fixture: doc text bytes as

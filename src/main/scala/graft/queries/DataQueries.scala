@@ -1023,6 +1023,30 @@ object DataQueries {
              |            AS INTEGER) AS rn
              |FROM scored""".stripMargin)),
 
+    QueryDef("q83_image_decode",
+      // REAL image codec round-trip: per doc_id a 16x16 synthetic image
+      // (closed-form pixel gray = (id*31 + x*7 + y*13) % 256) is PNG-
+      // ENCODED by the JDK codec in the executors, the binary payload
+      // flows through the MediaRow seam, and the JDK DECODER pools it
+      // into exact-integer 4x4 block sums. PNG over TYPE_INT_RGB is
+      // lossless, so the oracle can hash-check the ENTIRE codec path by
+      // recomputing the block sums straight from the pixel formula —
+      // any encoder/decoder pixel divergence breaks the hash. Narrow
+      // per-row work end-to-end: zero shuffles beyond the balance
+      // repartition, scales as pure map parallelism.
+      (s, d) => {
+        val media = graft.multimodal.Multimodal.mediaFromDocsImages(
+          s, table(s, d, "documents"))
+        graft.multimodal.Multimodal.imageBlockSums(media, 8)
+      },
+      Some("""SELECT doc_id AS media_id, 16 AS width, 16 AS height,
+             |  array_to_string(list_transform(range(16), b ->
+             |    CAST(CAST(list_sum(list_transform(range(16), p ->
+             |      (doc_id * 31 + ((b % 4) * 4 + (p % 4)) * 7
+             |       + ((b // 4) * 4 + (p // 4)) * 13) % 256
+             |    )) AS BIGINT) AS VARCHAR)), ',') AS feat_str
+             |FROM documents""".stripMargin)),
+
     // ------------------------------------------------ time windows
     QueryDef("q44_tumbling_window",
       // hourly tumbling aggregation (batch form; streaming variant is

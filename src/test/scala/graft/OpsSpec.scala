@@ -92,6 +92,44 @@ class OpsSpec extends AnyFunSuite {
     assert(centroids.forall(_.length == Multimodal.featureDim))
   }
 
+  test("real PNG codec round-trip: block sums equal the closed-form pixel formula") {
+    // independent re-derivation: plain (x, y) sweep accumulating into
+    // blocks — a different loop structure than poolSums' block-major one
+    for (id <- Seq(0L, 1L, 7L, 499L, 123456L)) {
+      val expected = new Array[Long](16)
+      for (y <- 0 until 16; x <- 0 until 16)
+        expected((y / 4) * 4 + (x / 4)) += (id * 31 + x * 7 + y * 13) % 256
+      val png = Multimodal.encodePng(id, 16, 16)
+      assert(Multimodal.isPng(png))
+      assert(Multimodal.decodeImageBlockSums(png, 4).toSeq == expected.toSeq,
+        s"codec round-trip diverged for id=$id")
+    }
+  }
+
+  test("featurize dispatch: real decode for PNG image rows, stub for the rest") {
+    val png = Multimodal.encodePng(42L, 16, 16)
+    val textBytes = "not an image".getBytes("UTF-8")
+    val media = Seq(
+      Multimodal.MediaRow(1L, "image", png, 16, 16), // real decoder
+      Multimodal.MediaRow(2L, "image", textBytes, 16, 16), // not PNG -> stub
+      Multimodal.MediaRow(3L, "audio", png, 16, 16) // kind gate -> stub
+    ).toDS()
+    val feats = Multimodal.featurize(media, 2).collect()
+      .map(f => f.media_id -> f.features.toSeq).toMap
+    assert(feats(1L) == Multimodal.decodeImage(png).toSeq)
+    assert(feats(1L) != Multimodal.decodeStub(png).toSeq)
+    assert(feats(2L) == Multimodal.decodeStub(textBytes).toSeq)
+    assert(feats(3L) == Multimodal.decodeStub(png).toSeq)
+    // real features share the stub contract: dim 16, centered range
+    assert(feats(1L).length == Multimodal.featureDim)
+    assert(feats(1L).forall(v => v >= -0.5f && v < 0.5f))
+  }
+
+  test("corrupt image payload fails loud, never silently fake features") {
+    val truncated = Multimodal.encodePng(1L, 16, 16).take(20)
+    intercept[Exception](Multimodal.decodeImageBlockSums(truncated, 4))
+  }
+
   test("multimodal frame sampling: n typed frames per row") {
     val pages = Fixtures.pages(spark, Fixtures.tiny).toDF().limit(5)
     val media = Multimodal.mediaFromPages(spark, pages)
