@@ -157,12 +157,95 @@ object Multimodal {
     poolSums(img, 4).map(s => (s.toFloat / per / 255f) - 0.5f)
   }
 
+  // ------------------------------------------------- real audio codec
+
+  /** Synthetic 16-bit PCM sample generator — the q84 oracle's
+    * closed-form ground truth (same role as [[synthGray]]).
+    */
+  def synthSample(id: Long, i: Int): Int =
+    ((id * 131 + i * 17) % 65536 - 32768).toInt
+
+  /** Real WAV encode via the JDK audio codec (`javax.sound.sampled` —
+    * the one audio format the JVM ships; compressed formats have no JDK
+    * codec and stay stubbed). PCM 16-bit mono little-endian; lossless,
+    * so decode(encodeWav(id)) recovers [[synthSample]] exactly.
+    */
+  def encodeWav(id: Long, n: Int): Array[Byte] = {
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val s = synthSample(id, i)
+      pcm(2 * i) = (s & 0xFF).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val bos = new java.io.ByteArrayOutputStream(n * 2 + 64)
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, n.toLong),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** RIFF/WAVE magic sniff — the featurize dispatch guard. */
+  def isWav(payload: Array[Byte]): Boolean =
+    payload.length > 12 &&
+      payload(0) == 'R' && payload(1) == 'I' && payload(2) == 'F' &&
+      payload(3) == 'F' && payload(8) == 'W' && payload(9) == 'A' &&
+      payload(10) == 'V' && payload(11) == 'E'
+
+  /** REAL audio decode: JDK WAV parser → exact-integer sample sums over
+    * `windows` equal windows — the q84 oracle hashes these with no
+    * float tolerance. Loud on corrupt bytes or a non-PCM-16/mono/LE
+    * stream.
+    */
+  def decodeWavWindowSums(payload: Array[Byte], windows: Int): Array[Long] = {
+    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    val fmt = in.getFormat
+    require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+      !fmt.isBigEndian &&
+      fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+      s"unsupported audio stream: $fmt")
+    val bytes = in.readAllBytes()
+    val n = bytes.length / 2
+    require(n % windows == 0, s"$n samples not divisible into $windows windows")
+    val per = n / windows
+    val out = new Array[Long](windows)
+    var w = 0
+    while (w < windows) {
+      var s = 0L
+      var i = 0
+      while (i < per) {
+        val j = w * per + i
+        s += ((bytes(2 * j) & 0xFF) | (bytes(2 * j + 1) << 8)).toShort.toLong
+        i += 1
+      }
+      out(w) = s
+      w += 1
+    }
+    out
+  }
+
+  /** Real audio features on the [[MediaFeatures]] contract: 16 window
+    * means normalized to [-0.5, 0.5) — path-agnostic downstream, like
+    * [[decodeImage]].
+    */
+  def decodeAudio(payload: Array[Byte]): Array[Float] = {
+    val sums = decodeWavWindowSums(payload, featureDim)
+    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    val per = (in.getFrameLength / featureDim).toInt
+    sums.map(s => s.toFloat / per / 65536f)
+  }
+
   /** Batched featurization: fixed-size batches through each partition
     * iterator (the mapInPandas batch shape), repartitioned by media_id
     * so decode work balances even when payload sizes skew. Dispatch:
-    * image rows whose payload really is a PNG go through the REAL JDK
-    * decoder; everything else (audio/video, non-image bytes) keeps the
-    * declared stub.
+    * image rows whose payload really is a PNG and audio rows whose
+    * payload really is a RIFF/WAVE go through the REAL JDK codecs;
+    * everything else (video, mismatched bytes) keeps the declared stub.
     */
   def featurize(media: Dataset[MediaRow], partitions: Int): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
@@ -174,6 +257,7 @@ object Multimodal {
           batch.iterator.map { m =>
             val feats =
               if (m.kind == "image" && isPng(m.payload)) decodeImage(m.payload)
+              else if (m.kind == "audio" && isWav(m.payload)) decodeAudio(m.payload)
               else decodeStub(m.payload)
             MediaFeatures(m.media_id, m.kind, m.payload.length, feats)
           }
@@ -244,6 +328,38 @@ object Multimodal {
         }
       }
       .toDF("media_id", "width", "height", "feat_str")
+  }
+
+  /** Media table of REAL WAV payloads over the driver `documents`
+    * fixture: one 256-sample PCM clip per doc_id, encoded by the JDK
+    * audio codec in the executors (q84's input; see
+    * [[mediaFromDocsImages]] for the pattern). width = samples,
+    * height = channels.
+    */
+  def mediaFromDocsAudio(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].map { id =>
+      MediaRow(id, "audio", encodeWav(id, 256), 256, 1)
+    }
+  }
+
+  /** Decoded window-sum features for a media table of real WAV clips:
+    * (media_id, n_samples, feat_str) with feat_str the comma-joined
+    * exact integer 16-window sample sums — the q84 output shape.
+    */
+  def audioWindowSums(media: Dataset[MediaRow], partitions: Int): DataFrame = {
+    import media.sparkSession.implicits._
+    media
+      .repartition(partitions, col("media_id"))
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.iterator.map { m =>
+            (m.media_id, m.width,
+              decodeWavWindowSums(m.payload, featureDim).mkString(","))
+          }
+        }
+      }
+      .toDF("media_id", "n_samples", "feat_str")
   }
 
   /** Media table over the driver `documents` fixture: doc text bytes as

@@ -1047,6 +1047,29 @@ object DataQueries {
              |    )) AS BIGINT) AS VARCHAR)), ',') AS feat_str
              |FROM documents""".stripMargin)),
 
+    QueryDef("q84_audio_decode",
+      // REAL audio codec round-trip, the q83 pattern over the other
+      // JDK-shipped codec (javax.sound.sampled WAV/PCM — compressed
+      // audio has no JVM codec and stays stubbed): per doc_id a
+      // 256-sample 16-bit PCM clip (closed-form sample formula) is
+      // WAV-encoded by the JDK in the executors, flows as binary
+      // through the MediaRow seam, and the JDK parser decodes it back
+      // into exact-integer 16-window sample sums. PCM is lossless, so
+      // the oracle recomputes the sums straight from the sample
+      // formula — any framing/endianness/sign divergence in the codec
+      // path breaks the hash.
+      (s, d) => {
+        val media = graft.multimodal.Multimodal.mediaFromDocsAudio(
+          s, table(s, d, "documents"))
+        graft.multimodal.Multimodal.audioWindowSums(media, 8)
+      },
+      Some("""SELECT doc_id AS media_id, 256 AS n_samples,
+             |  array_to_string(list_transform(range(16), w ->
+             |    CAST(CAST(list_sum(list_transform(range(16), i ->
+             |      (doc_id * 131 + (w * 16 + i) * 17) % 65536 - 32768
+             |    )) AS BIGINT) AS VARCHAR)), ',') AS feat_str
+             |FROM documents""".stripMargin)),
+
     // ------------------------------------------------ time windows
     QueryDef("q44_tumbling_window",
       // hourly tumbling aggregation (batch form; streaming variant is

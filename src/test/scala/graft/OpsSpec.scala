@@ -130,6 +130,37 @@ class OpsSpec extends AnyFunSuite {
     intercept[Exception](Multimodal.decodeImageBlockSums(truncated, 4))
   }
 
+  test("real WAV codec round-trip: window sums equal the closed-form sample formula") {
+    for (id <- Seq(0L, 1L, 7L, 499L, 123456L)) {
+      val expected = new Array[Long](16)
+      for (j <- 0 until 256)
+        expected(j / 16) += (id * 131 + j * 17) % 65536 - 32768
+      val wav = Multimodal.encodeWav(id, 256)
+      assert(Multimodal.isWav(wav))
+      assert(Multimodal.decodeWavWindowSums(wav, 16).toSeq == expected.toSeq,
+        s"audio codec round-trip diverged for id=$id")
+    }
+    // corrupt: RIFF magic but truncated body
+    intercept[Exception](
+      Multimodal.decodeWavWindowSums(Multimodal.encodeWav(1L, 256).take(24), 16))
+  }
+
+  test("featurize dispatch: real audio decode for WAV rows, stub otherwise") {
+    val wav = Multimodal.encodeWav(9L, 256)
+    val media = Seq(
+      Multimodal.MediaRow(1L, "audio", wav, 256, 1), // real decoder
+      Multimodal.MediaRow(2L, "audio", "noise".getBytes("UTF-8"), 0, 0), // stub
+      Multimodal.MediaRow(3L, "video", wav, 256, 1) // kind gate -> stub
+    ).toDS()
+    val feats = Multimodal.featurize(media, 2).collect()
+      .map(f => f.media_id -> f.features.toSeq).toMap
+    assert(feats(1L) == Multimodal.decodeAudio(wav).toSeq)
+    assert(feats(2L) == Multimodal.decodeStub("noise".getBytes("UTF-8")).toSeq)
+    assert(feats(3L) == Multimodal.decodeStub(wav).toSeq)
+    assert(feats(1L).length == Multimodal.featureDim)
+    assert(feats(1L).forall(v => v >= -0.5f && v < 0.5f))
+  }
+
   test("multimodal frame sampling: n typed frames per row") {
     val pages = Fixtures.pages(spark, Fixtures.tiny).toDF().limit(5)
     val media = Multimodal.mediaFromPages(spark, pages)
