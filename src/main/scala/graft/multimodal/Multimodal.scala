@@ -8,18 +8,22 @@ import graft.core.Ids
 /** Multimodal column plumbing: image/audio/video as opaque binary
   * columns with typed metadata (builder-prompt requirement).
   *
-  * IMAGES decode for REAL: the JDK ships PNG/JPEG/BMP/GIF codecs
-  * (`javax.imageio.ImageIO` — public standard library, headless-safe),
-  * so [[decodeImage]] is an actual decoder and [[encodePng]] an actual
-  * encoder; because PNG over TYPE_INT_RGB is lossless, the
-  * encode→bytes→decode round-trip is bit-exact, which is what lets the
-  * q83 DuckDB oracle hash-check the whole codec path (the oracle
-  * recomputes pooled features from the closed-form pixel generator
-  * [[synthGray]] — equality holds iff the engine's real round-trip
-  * preserved every pixel). AUDIO/VIDEO payloads remain clearly-marked
-  * STUBS (no audio/video codec ships in the JVM or this container):
-  * [[decodeStub]] produces a deterministic fake feature vector from the
-  * bytes. Everything Spark-side is identical between the two paths —
+  * ALL THREE modalities decode for REAL via JDK-shipped codecs (public
+  * standard library, headless-safe): images through `javax.imageio`
+  * PNG ([[decodeImage]]/[[encodePng]]), audio through
+  * `javax.sound.sampled` WAV/PCM ([[decodeAudio]]/[[encodeWav]]), and
+  * video through the JDK's multi-frame animated-GIF reader
+  * ([[decodeVideo]]/[[encodeGif]] — the one moving-picture container
+  * the JVM decodes; MP4/WebM have no JDK codec). Each round-trip is
+  * lossless (PNG over TYPE_INT_RGB; PCM; GIF over an indexed 256-gray
+  * palette), which is what lets the q83/q84/q85 DuckDB oracles
+  * hash-check the whole codec paths: each oracle recomputes pooled
+  * features from its closed-form generator ([[synthGray]] /
+  * [[synthSample]] / [[synthFrameGray]]) — equality holds iff the
+  * engine's real round-trip preserved every sample. [[decodeStub]]
+  * survives only as the declared fallback for payload bytes no JVM
+  * codec can parse (deterministic fake features from the raw bytes).
+  * Everything Spark-side is identical across all paths —
   * schema, batched mapPartitions shape (the Scala analogue of
   * mapInPandas: fixed-size batches through the per-partition iterator),
   * partition balancing, and the downstream feature-vector contract
@@ -240,12 +244,107 @@ object Multimodal {
     sums.map(s => s.toFloat / per / 65536f)
   }
 
+  // ------------------------------------------- real video (GIF) codec
+
+  /** Synthetic per-frame pixel generator — the q85 oracle's closed-form
+    * ground truth; frame 0 coincides with [[synthGray]].
+    */
+  def synthFrameGray(id: Long, f: Int, x: Int, y: Int): Int =
+    ((id * 31 + f * 41 + x * 7 + y * 13) % 256).toInt
+
+  /** explicit 256-gray palette: GIF's native indexed model, so the JDK
+    * writer maps samples 1:1 instead of quantizing (TYPE_BYTE_GRAY gets
+    * re-palettized lossily — measured)
+    */
+  private def grayPalette: java.awt.image.IndexColorModel = {
+    val v = Array.tabulate[Byte](256)(_.toByte)
+    new java.awt.image.IndexColorModel(8, 256, v, v, v)
+  }
+
+  private def synthFrame(id: Long, f: Int, w: Int, h: Int): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, grayPalette)
+    val r = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { r.setSample(x, y, 0, synthFrameGray(id, f, x, y)); x += 1 }
+      y += 1
+    }
+    img
+  }
+
+  /** Real animated-GIF encode via the JDK codec — GIF is the one
+    * moving-picture container the JVM can both write and read
+    * (MP4/WebM etc. have no JDK codec and would stay stubbed). Indexed
+    * 256-gray frames make the round-trip lossless, which is what lets
+    * the q85 oracle hash the whole codec path.
+    */
+  def encodeGif(id: Long, frames: Int, w: Int, h: Int): Array[Byte] = {
+    val wr = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val bos = new java.io.ByteArrayOutputStream(frames * w * h / 2 + 256)
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      wr.setOutput(ios)
+      wr.prepareWriteSequence(null)
+      var f = 0
+      while (f < frames) {
+        wr.writeToSequence(
+          new javax.imageio.IIOImage(synthFrame(id, f, w, h), null, null), null)
+        f += 1
+      }
+      wr.endWriteSequence()
+    } finally { ios.close(); wr.dispose() }
+    bos.toByteArray
+  }
+
+  /** GIF magic sniff — the dispatch guard. */
+  def isGif(payload: Array[Byte]): Boolean =
+    payload.length > 6 &&
+      payload(0) == 'G' && payload(1) == 'I' && payload(2) == 'F' &&
+      payload(3) == '8'
+
+  /** REAL video decode: JDK GIF reader → every frame → exact-integer
+    * 4×4 block sums per frame (the image pooling applied per frame).
+    * Loud on corrupt bytes.
+    */
+  def decodeGifFrameSums(payload: Array[Byte], blocks: Int): Seq[(Int, Array[Long])] = {
+    val rd = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+    try {
+      rd.setInput(javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload)))
+      val n = rd.getNumImages(true)
+      require(n > 0, s"undecodable gif payload (${payload.length} bytes)")
+      (0 until n).map(f => f -> poolSums(rd.read(f), blocks))
+    } finally rd.dispose()
+  }
+
+  /** Real video features on the [[MediaFeatures]] contract: block means
+    * averaged across frames, normalized to [-0.5, 0.5).
+    */
+  def decodeVideo(payload: Array[Byte]): Array[Float] = {
+    val frames = decodeGifFrameSums(payload, 4)
+    val acc = new Array[Long](featureDim)
+    frames.foreach { case (_, sums) =>
+      var i = 0; while (i < featureDim) { acc(i) += sums(i); i += 1 }
+    }
+    // per-block pixel count × frame count; frames share one geometry
+    val rd = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+    val per = try {
+      rd.setInput(javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload)))
+      (rd.getWidth(0) / 4) * (rd.getHeight(0) / 4) * frames.size
+    } finally rd.dispose()
+    acc.map(s => (s.toFloat / per / 255f) - 0.5f)
+  }
+
   /** Batched featurization: fixed-size batches through each partition
     * iterator (the mapInPandas batch shape), repartitioned by media_id
     * so decode work balances even when payload sizes skew. Dispatch:
-    * image rows whose payload really is a PNG and audio rows whose
-    * payload really is a RIFF/WAVE go through the REAL JDK codecs;
-    * everything else (video, mismatched bytes) keeps the declared stub.
+    * image rows whose payload really is a PNG, audio rows whose payload
+    * really is a RIFF/WAVE, and video rows whose payload really is a
+    * GIF go through the REAL JDK codecs; mismatched bytes keep the
+    * declared stub.
     */
   def featurize(media: Dataset[MediaRow], partitions: Int): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
@@ -258,6 +357,7 @@ object Multimodal {
             val feats =
               if (m.kind == "image" && isPng(m.payload)) decodeImage(m.payload)
               else if (m.kind == "audio" && isWav(m.payload)) decodeAudio(m.payload)
+              else if (m.kind == "video" && isGif(m.payload)) decodeVideo(m.payload)
               else decodeStub(m.payload)
             MediaFeatures(m.media_id, m.kind, m.payload.length, feats)
           }
@@ -265,19 +365,52 @@ object Multimodal {
       }
   }
 
-  /** Video frame sampling STUB: real impl seeks keyframes; here the
-    * payload is sliced deterministically every `stride` bytes into
-    * `nFrames` pseudo-frames. The operator shape (one row in, n typed
-    * frame rows out = flatMap/explode) is the real contract.
+  /** Video frame sampling — REAL for GIF payloads: the JDK reader
+    * extracts up to `nFrames` actual frames, each re-encoded as a
+    * standalone PNG payload (losslessly — so downstream [[decodeImage]]
+    * consumers read true frames). Non-GIF payloads keep the declared
+    * stub slicing (every `stride` bytes into pseudo-frames). The
+    * operator shape either way: one row in, n typed frame rows out
+    * (flatMap/explode).
     */
   def sampleFrames(media: Dataset[MediaRow], nFrames: Int): DataFrame = {
     import media.sparkSession.implicits._
     media.flatMap { m =>
-      val stride = math.max(1, m.payload.length / math.max(nFrames, 1))
-      (0 until math.min(nFrames, m.payload.length)).map { f =>
-        val start = f * stride
-        val end = math.min(start + stride, m.payload.length)
-        (m.media_id, f, m.payload.slice(start, end))
+      if (m.kind == "video" && isGif(m.payload)) {
+        val rd = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+        try {
+          rd.setInput(javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(m.payload)))
+          val n = math.min(nFrames, rd.getNumImages(true))
+          (0 until n).map { f =>
+            // re-encode via TYPE_INT_RGB: the PNG writer round-trips it
+            // losslessly (q83-proven), whereas handing it the decoded
+            // indexed frame directly shifts pixels (measured: the JDK
+            // PNG writer mangles IndexColorModel images)
+            val idx = rd.read(f)
+            val rgb = new java.awt.image.BufferedImage(
+              idx.getWidth, idx.getHeight,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var y = 0
+            while (y < idx.getHeight) {
+              var x = 0
+              while (x < idx.getWidth) {
+                rgb.setRGB(x, y, idx.getRGB(x, y)); x += 1
+              }
+              y += 1
+            }
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(rgb, "png", bos)
+            (m.media_id, f, bos.toByteArray)
+          }
+        } finally rd.dispose()
+      } else {
+        val stride = math.max(1, m.payload.length / math.max(nFrames, 1))
+        (0 until math.min(nFrames, m.payload.length)).map { f =>
+          val start = f * stride
+          val end = math.min(start + stride, m.payload.length)
+          (m.media_id, f, m.payload.slice(start, end))
+        }
       }
     }.toDF("media_id", "frame_idx", "frame_payload")
   }
@@ -360,6 +493,37 @@ object Multimodal {
         }
       }
       .toDF("media_id", "n_samples", "feat_str")
+  }
+
+  /** Media table of REAL animated-GIF payloads over the driver
+    * `documents` fixture: one 4-frame 16×16 clip per doc_id, encoded by
+    * the JDK GIF codec in the executors (q85's input).
+    */
+  def mediaFromDocsVideo(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].map { id =>
+      MediaRow(id, "video", encodeGif(id, 4, 16, 16), 16, 16)
+    }
+  }
+
+  /** Decoded per-frame block-sum features for a media table of real
+    * GIF clips: (media_id, frame_idx, feat_str), one row per actual
+    * decoded frame — the q85 output shape.
+    */
+  def videoFrameSums(media: Dataset[MediaRow], partitions: Int): DataFrame = {
+    import media.sparkSession.implicits._
+    media
+      .repartition(partitions, col("media_id"))
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.iterator.flatMap { m =>
+            decodeGifFrameSums(m.payload, 4).map { case (f, sums) =>
+              (m.media_id, f, sums.mkString(","))
+            }
+          }
+        }
+      }
+      .toDF("media_id", "frame_idx", "feat_str")
   }
 
   /** Media table over the driver `documents` fixture: doc text bytes as

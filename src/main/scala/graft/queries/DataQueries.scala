@@ -1070,6 +1070,30 @@ object DataQueries {
              |    )) AS BIGINT) AS VARCHAR)), ',') AS feat_str
              |FROM documents""".stripMargin)),
 
+    QueryDef("q85_video_frames",
+      // REAL video codec round-trip over the JVM's one moving-picture
+      // container (animated GIF; MP4/WebM have no JDK codec): per
+      // doc_id a 4-frame 16x16 clip (closed-form per-frame pixel
+      // formula, indexed 256-gray palette so the GIF round-trip is
+      // lossless) is encoded by the JDK writer in the executors, and
+      // the JDK reader extracts EVERY frame back out — one output row
+      // per decoded frame with its exact-integer 4x4 block sums. The
+      // oracle recomputes sums from the formula over documents x
+      // range(4): a missing/extra/reordered frame or any pixel
+      // divergence breaks the rows or the hash.
+      (s, d) => {
+        val media = graft.multimodal.Multimodal.mediaFromDocsVideo(
+          s, table(s, d, "documents"))
+        graft.multimodal.Multimodal.videoFrameSums(media, 8)
+      },
+      Some("""SELECT doc_id AS media_id, CAST(f AS INTEGER) AS frame_idx,
+             |  array_to_string(list_transform(range(16), b ->
+             |    CAST(CAST(list_sum(list_transform(range(16), p ->
+             |      (doc_id * 31 + f * 41 + ((b % 4) * 4 + (p % 4)) * 7
+             |       + ((b // 4) * 4 + (p // 4)) * 13) % 256
+             |    )) AS BIGINT) AS VARCHAR)), ',') AS feat_str
+             |FROM documents, range(4) t(f)""".stripMargin)),
+
     // ------------------------------------------------ time windows
     QueryDef("q44_tumbling_window",
       // hourly tumbling aggregation (batch form; streaming variant is

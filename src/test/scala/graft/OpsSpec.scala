@@ -145,18 +145,63 @@ class OpsSpec extends AnyFunSuite {
       Multimodal.decodeWavWindowSums(Multimodal.encodeWav(1L, 256).take(24), 16))
   }
 
+  test("real GIF codec round-trip: per-frame block sums equal the formula") {
+    for (id <- Seq(0L, 1L, 499L, 123456L)) {
+      val gif = Multimodal.encodeGif(id, 4, 16, 16)
+      assert(Multimodal.isGif(gif))
+      val frames = Multimodal.decodeGifFrameSums(gif, 4)
+      assert(frames.map(_._1) == Seq(0, 1, 2, 3))
+      for ((f, sums) <- frames) {
+        val expected = new Array[Long](16)
+        for (y <- 0 until 16; x <- 0 until 16)
+          expected((y / 4) * 4 + (x / 4)) += (id * 31 + f * 41 + x * 7 + y * 13) % 256
+        assert(sums.toSeq == expected.toSeq,
+          s"gif codec round-trip diverged for id=$id frame=$f")
+      }
+    }
+    intercept[Exception](
+      Multimodal.decodeGifFrameSums("GIF89a-garbage".getBytes("UTF-8"), 4))
+  }
+
+  test("frame sampling is REAL for GIF payloads: frames come back as decodable PNGs") {
+    val gif = Multimodal.encodeGif(7L, 4, 16, 16)
+    val media = Seq(
+      Multimodal.MediaRow(1L, "video", gif, 16, 16),
+      Multimodal.MediaRow(2L, "video", "not a gif".getBytes("UTF-8"), 0, 0)
+    ).toDS()
+    val frames = Multimodal.sampleFrames(media, 3).collect()
+      .map(r => (r.getAs[Long]("media_id"), r.getAs[Int]("frame_idx"),
+        r.getAs[Array[Byte]]("frame_payload")))
+    val real = frames.filter(_._1 == 1L).sortBy(_._2)
+    assert(real.length == 3) // capped at nFrames of the 4 in the clip
+    for ((_, f, png) <- real) {
+      assert(Multimodal.isPng(png)) // re-encoded standalone frame
+      val expected = new Array[Long](16)
+      for (y <- 0 until 16; x <- 0 until 16)
+        expected((y / 4) * 4 + (x / 4)) += (7L * 31 + f * 41 + x * 7 + y * 13) % 256
+      assert(Multimodal.decodeImageBlockSums(png, 4).toSeq == expected.toSeq)
+    }
+    // non-GIF keeps the stub byte-slice shape
+    assert(frames.count(_._1 == 2L) == 3)
+    assert(frames.filter(_._1 == 2L).forall(r => !Multimodal.isPng(r._3)))
+  }
+
   test("featurize dispatch: real audio decode for WAV rows, stub otherwise") {
     val wav = Multimodal.encodeWav(9L, 256)
+    val gif = Multimodal.encodeGif(9L, 4, 16, 16)
     val media = Seq(
       Multimodal.MediaRow(1L, "audio", wav, 256, 1), // real decoder
       Multimodal.MediaRow(2L, "audio", "noise".getBytes("UTF-8"), 0, 0), // stub
-      Multimodal.MediaRow(3L, "video", wav, 256, 1) // kind gate -> stub
+      Multimodal.MediaRow(3L, "video", wav, 256, 1), // magic gate -> stub
+      Multimodal.MediaRow(4L, "video", gif, 16, 16) // real video decoder
     ).toDS()
     val feats = Multimodal.featurize(media, 2).collect()
       .map(f => f.media_id -> f.features.toSeq).toMap
     assert(feats(1L) == Multimodal.decodeAudio(wav).toSeq)
     assert(feats(2L) == Multimodal.decodeStub("noise".getBytes("UTF-8")).toSeq)
     assert(feats(3L) == Multimodal.decodeStub(wav).toSeq)
+    assert(feats(4L) == Multimodal.decodeVideo(gif).toSeq)
+    assert(feats(4L).forall(v => v >= -0.5f && v < 0.5f))
     assert(feats(1L).length == Multimodal.featureDim)
     assert(feats(1L).forall(v => v >= -0.5f && v < 0.5f))
   }
