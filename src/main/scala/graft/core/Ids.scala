@@ -31,25 +31,73 @@ object Ids {
     * unique row keys); ties within a partition would rank
     * nondeterministically.
     */
-  def globalRowNumber(df: DataFrame, orderCol: String, rnCol: String = "rn"): DataFrame = {
+  def globalRowNumber(df: DataFrame, orderCol: String, rnCol: String = "rn"): DataFrame =
+    globalOrdered(df, Seq(col(orderCol)), rnCol)
+
+  /** Generalization of [[globalRowNumber]]: global row_number (1..n)
+    * over a MULTI-column total order, plus optional exact running sums
+    * over the same order — everything a metric-style global window
+    * (`Window.orderBy(...)` with no partitioning) provides, without the
+    * single-partition sort that WindowExec would use (it moves the
+    * whole input to one task — the 100TB scale-killer this exists to
+    * avoid).
+    *
+    * Same partition-offset machinery as before, now two prefix sums per
+    * running-sum column: range-partition on the order columns, compute
+    * local rank / local cumsum per partition, then add the broadcast
+    * per-partition (count, sum) prefix totals. Range partitions are
+    * ordered by the key tuple, so offset + local value == global value
+    * exactly; deterministic and retry-stable regardless of where the
+    * sampled range boundaries fall.
+    *
+    * `orderCols` tuples must be distinct (callers append a unique
+    * tiebreak column); ties within a partition would rank
+    * nondeterministically.
+    *
+    * `runningSums`: (input column, output name) pairs; each output is
+    * sum(input) over rows 1..rn in the global order (inclusive running
+    * total, LONG input/output — callers scale doubles to exact integers
+    * first, the engine's cross-engine hash discipline).
+    */
+  def globalOrdered(df: DataFrame, orderCols: Seq[Column], rnCol: String = "rn",
+      runningSums: Seq[(Column, String)] = Nil): DataFrame = {
     val spark = df.sparkSession
     val parts = spark.sessionState.conf.numShufflePartitions
+    val sumIns = runningSums.zipWithIndex.map { case ((c, _), i) => c.as(s"__si$i") }
     val ranged = df
-      .repartitionByRange(parts, col(orderCol))
-      .sortWithinPartitions(col(orderCol))
+      .select(col("*") +: sumIns: _*)
+      .repartitionByRange(parts, orderCols: _*)
+      .sortWithinPartitions(orderCols: _*)
       .withColumn("__pid", spark_partition_id())
       .localCheckpoint(true)
-    val counts = ranged.groupBy(col("__pid")).agg(count(lit(1)).as("__n"))
-      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-    var acc = 0L
-    val offsets = counts.map { case (pid, n) => val o = (pid, acc); acc += n; o }.toSeq
+    val aggs = count(lit(1)).as("__n") +:
+      runningSums.indices.map(i => sum(col(s"__si$i")).as(s"__s$i"))
+    val totals = ranged.groupBy(col("__pid")).agg(aggs.head, aggs.tail: _*)
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1),
+        runningSums.indices.map(i => if (r.isNullAt(2 + i)) 0L else r.getLong(2 + i))))
+      .sortBy(_._1)
+    var accN = 0L
+    val accS = Array.fill(runningSums.size)(0L)
+    val offsets = totals.map { case (pid, n, ss) =>
+      val o = (pid, accN, accS.toSeq)
+      accN += n; ss.zipWithIndex.foreach { case (s, i) => accS(i) += s }
+      o
+    }.toSeq
     import spark.implicits._
-    val offDf = offsets.toDF("__pid", "__off")
+    val offDf = offsets.map { case (pid, off, soffs) => (pid, off, soffs) }
+      .toDF("__pid", "__off", "__soffs")
+    val w = Window.partitionBy(col("__pid")).orderBy(orderCols: _*)
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sumOuts = runningSums.zipWithIndex.map { case ((_, name), i) =>
+      (coalesce(sum(col(s"__si$i")).over(cum), lit(0L)) +
+        element_at(col("__soffs"), i + 1)).as(name)
+    }
     ranged.join(broadcast(offDf), Seq("__pid"))
-      .withColumn(rnCol,
-        row_number().over(Window.partitionBy(col("__pid")).orderBy(col(orderCol)))
-          .cast("long") + col("__off"))
-      .drop("__pid", "__off")
+      .select(col("*") +:
+        (row_number().over(w).cast("long") + col("__off")).as(rnCol) +:
+        sumOuts: _*)
+      .drop("__pid" +: "__off" +: "__soffs" +: runningSums.indices.map(i => s"__si$i"): _*)
   }
 
   /** (key -> dense long id) dictionary, deterministic: ids follow the

@@ -58,10 +58,16 @@ object Refill {
         Window.partitionBy("subject").orderBy(ord)))
       .filter(!isT(col("subject")) || col("__rn") <= maxObjectsPerSubject)
       .drop("__rn")
+    // first maxRows in (priority, md5) order = a bounded top-K:
+    // orderBy+limit compiles to distributed TakeOrdered partial top-k
+    // (each partition keeps its best maxRows, driver merges), the exact
+    // same row set as rank<=maxRows over the distinct total order —
+    // where a global row_number window would single-partition the whole
+    // candidate table (the q80 pattern)
     val core = capped
       .withColumn("__prio", when(isT(col("subject")) && isT(col("object")), 1).otherwise(2))
-      .withColumn("__grn", row_number().over(Window.orderBy(col("__prio"), ord)))
-      .filter(col("__grn") <= maxRows)
+      .orderBy(col("__prio"), ord)
+      .limit(maxRows)
       .select(col("subject"), col("predicate"), col("object"),
         lit("core").as("fill_source"))
     val coreCnt = core.agg(count(lit(1)).as("__ccnt"))
@@ -76,7 +82,13 @@ object Refill {
         .join(coreNodes.withColumnRenamed("__n", "object"), Seq("object"), "left_semi")
         .select("subject", "predicate", "object"))
       .distinct()
+    // same TakeOrdered trick: the expansion keeps at most
+    // maxRows - ccnt <= maxRows rows, so limit(maxRows) first (bounded
+    // superset via distributed partial top-k), then rank only the
+    // survivors — that window is over <= maxRows rows, not the corpus
     val expanded = touching
+      .orderBy(ord)
+      .limit(maxRows)
       .withColumn("__ern", row_number().over(Window.orderBy(ord)))
       .crossJoin(coreCnt)
       .filter(col("__ccnt") < minRows && col("__ern") <= lit(maxRows) - col("__ccnt"))

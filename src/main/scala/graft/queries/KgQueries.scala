@@ -204,11 +204,16 @@ object KgQueries {
       // positive rank-sum, and the AUC in micro-units via integral
       // division — U = rank_sum - p(p+1)/2, auc_micro = U*1e6 div (p*n).
       (s, d) => {
-        val t = triples(s, d)
-          .withColumn("pos", (col("value") > 100.0).cast("int"))
-          .withColumn("score", (col("event_id") % 100).cast("double") / 100.0)
-          .withColumn("rnk", row_number().over(
-            Window.orderBy(col("score"), col("event_id"))))
+        // rnk via the partition-offset global rank (Ids.globalOrdered)
+        // instead of Window.orderBy with no partitioning — the latter is
+        // a single-partition sort of the whole scored set (WindowExec
+        // warns and moves every row to one task; nonviable at corpus
+        // scale). (score, event_id) is a distinct total order.
+        val t = Ids.globalOrdered(
+          triples(s, d)
+            .withColumn("pos", (col("value") > 100.0).cast("int"))
+            .withColumn("score", (col("event_id") % 100).cast("double") / 100.0),
+          Seq(col("score"), col("event_id")), "rnk")
         t.agg(
           sum(col("pos")).cast("long").as("p"),
           sum(lit(1) - col("pos")).cast("long").as("n"),
@@ -244,13 +249,16 @@ object KgQueries {
       // integers (same discipline as q15): per-positive precision in
       // micro-units via integral division, AP = their sum DIV p.
       (s, d) => {
-        val ord = Window.orderBy(col("score").desc, col("event_id"))
-        val t = triples(s, d)
-          .withColumn("pos", (col("value") > 100.0).cast("int"))
-          .withColumn("score", (col("event_id") % 100).cast("double") / 100.0)
-          .withColumn("rnk", row_number().over(ord))
-          .withColumn("cum_pos", sum(col("pos")).over(
-            ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        // rank + running positive count in ONE distributed pass
+        // (Ids.globalOrdered running-sum form) — replaces two
+        // single-partition global windows; desc order flows through
+        // range partitioner, local sort, and local window identically
+        val t = Ids.globalOrdered(
+          triples(s, d)
+            .withColumn("pos", (col("value") > 100.0).cast("int"))
+            .withColumn("score", (col("event_id") % 100).cast("double") / 100.0),
+          Seq(col("score").desc, col("event_id")), "rnk",
+          Seq(col("pos").cast("long") -> "cum_pos"))
         t.filter(col("pos") === 1)
           .withColumn("prec_micro", expr("(cum_pos * 1000000) DIV rnk"))
           .agg(count(lit(1)).cast("long").as("p"),
@@ -285,8 +293,9 @@ object KgQueries {
       // (cnt-1)*q DIV 100 + 1 over the (score, edge_id)-sorted ranking.
       (s, d) => {
         val se = scored(s, d)
-        val ranked = se.withColumn("rn", row_number().over(
-          Window.orderBy(col("score"), col("edge_id"))))
+        // distributed global rank (see q15) — (score, edge_id) distinct
+        val ranked = Ids.globalOrdered(se,
+          Seq(col("score"), col("edge_id")), "rn")
         val cnt = se.agg(count(lit(1)).as("cnt"))
         ranked.crossJoin(cnt)
           .select(col("score"), col("rn"), col("cnt"),
