@@ -181,7 +181,10 @@ object StreamBench {
     val staged = java.nio.file.Files.exists(markerPath) &&
       new String(java.nio.file.Files.readAllBytes(markerPath),
         "UTF-8") == genParams &&
-      spark.read.parquet(inDir).count() == nEvents
+      // a matching marker over a parquet-less dir (batch files cleaned,
+      // marker left behind) must restage, not crash the schema inference
+      scala.util.Try(spark.read.parquet(inDir).count() == nEvents)
+        .getOrElse(false)
     if (!staged) {
       scala.reflect.io.Directory(new java.io.File(inDir)).deleteRecursively()
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(inDir))

@@ -34,6 +34,10 @@ object Multimodal {
   // ImageIO needs no display, but pin headless before any AWT class
   // initializes so executor threads can never trip an X11 probe
   System.setProperty("java.awt.headless", "true")
+  // per-row encode/decode must stay in-memory: ImageIO's default cache
+  // backs every read/write with a temp FILE (create+delete syscalls per
+  // 16x16 image on the hot codec path)
+  javax.imageio.ImageIO.setUseCache(false)
 
   final case class MediaRow(
       media_id: Long,
@@ -204,7 +208,13 @@ object Multimodal {
     * float tolerance. Loud on corrupt bytes or a non-PCM-16/mono/LE
     * stream.
     */
-  def decodeWavWindowSums(payload: Array[Byte], windows: Int): Array[Long] = {
+  def decodeWavWindowSums(payload: Array[Byte], windows: Int): Array[Long] =
+    wavWindowSumsN(payload, windows)._1
+
+  /** window sums + total sample count from ONE parse (decodeAudio needs
+    * both; a second getAudioInputStream pass would re-parse the payload)
+    */
+  private def wavWindowSumsN(payload: Array[Byte], windows: Int): (Array[Long], Int) = {
     val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
       new java.io.ByteArrayInputStream(payload))
     val fmt = in.getFormat
@@ -229,18 +239,18 @@ object Multimodal {
       out(w) = s
       w += 1
     }
-    out
+    (out, n)
   }
 
   /** Real audio features on the [[MediaFeatures]] contract: 16 window
     * means normalized to [-0.5, 0.5) — path-agnostic downstream, like
-    * [[decodeImage]].
+    * [[decodeImage]]. Loud on an empty stream (0/0 would be silent
+    * all-NaN features).
     */
   def decodeAudio(payload: Array[Byte]): Array[Float] = {
-    val sums = decodeWavWindowSums(payload, featureDim)
-    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
-      new java.io.ByteArrayInputStream(payload))
-    val per = (in.getFrameLength / featureDim).toInt
+    val (sums, n) = wavWindowSumsN(payload, featureDim)
+    require(n > 0, "empty audio stream (0 samples)")
+    val per = n / featureDim
     sums.map(s => s.toFloat / per / 65536f)
   }
 
@@ -308,34 +318,41 @@ object Multimodal {
     * 4×4 block sums per frame (the image pooling applied per frame).
     * Loud on corrupt bytes.
     */
-  def decodeGifFrameSums(payload: Array[Byte], blocks: Int): Seq[(Int, Array[Long])] = {
+  def decodeGifFrameSums(payload: Array[Byte], blocks: Int): Seq[(Int, Array[Long])] =
+    gifFrameSumsDims(payload, blocks).map { case (f, _, _, sums) => f -> sums }
+
+  /** frame sums + each frame's own geometry from ONE parse: (frame_idx,
+    * width, height, block sums). decodeVideo needs the per-frame dims —
+    * delta-optimized GIFs store later frames as smaller sub-rectangles,
+    * so a single frame-0 divisor would silently mis-normalize them.
+    */
+  private def gifFrameSumsDims(payload: Array[Byte],
+      blocks: Int): Seq[(Int, Int, Int, Array[Long])] = {
     val rd = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
     try {
       rd.setInput(javax.imageio.ImageIO.createImageInputStream(
         new java.io.ByteArrayInputStream(payload)))
       val n = rd.getNumImages(true)
       require(n > 0, s"undecodable gif payload (${payload.length} bytes)")
-      (0 until n).map(f => f -> poolSums(rd.read(f), blocks))
+      (0 until n).map { f =>
+        val img = rd.read(f)
+        (f, img.getWidth, img.getHeight, poolSums(img, blocks))
+      }
     } finally rd.dispose()
   }
 
-  /** Real video features on the [[MediaFeatures]] contract: block means
-    * averaged across frames, normalized to [-0.5, 0.5).
+  /** Real video features on the [[MediaFeatures]] contract: per-frame
+    * block MEANS (each over that frame's own pixel count) averaged
+    * across frames, normalized to [-0.5, 0.5).
     */
   def decodeVideo(payload: Array[Byte]): Array[Float] = {
-    val frames = decodeGifFrameSums(payload, 4)
-    val acc = new Array[Long](featureDim)
-    frames.foreach { case (_, sums) =>
-      var i = 0; while (i < featureDim) { acc(i) += sums(i); i += 1 }
+    val frames = gifFrameSumsDims(payload, 4)
+    val acc = new Array[Float](featureDim)
+    frames.foreach { case (_, w, h, sums) =>
+      val per = (w / 4) * (h / 4)
+      var i = 0; while (i < featureDim) { acc(i) += sums(i).toFloat / per; i += 1 }
     }
-    // per-block pixel count × frame count; frames share one geometry
-    val rd = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
-    val per = try {
-      rd.setInput(javax.imageio.ImageIO.createImageInputStream(
-        new java.io.ByteArrayInputStream(payload)))
-      (rd.getWidth(0) / 4) * (rd.getHeight(0) / 4) * frames.size
-    } finally rd.dispose()
-    acc.map(s => (s.toFloat / per / 255f) - 0.5f)
+    acc.map(v => (v / frames.size / 255f) - 0.5f)
   }
 
   /** Batched featurization: fixed-size batches through each partition
@@ -343,8 +360,10 @@ object Multimodal {
     * so decode work balances even when payload sizes skew. Dispatch:
     * image rows whose payload really is a PNG, audio rows whose payload
     * really is a RIFF/WAVE, and video rows whose payload really is a
-    * GIF go through the REAL JDK codecs; mismatched bytes keep the
-    * declared stub.
+    * GIF go through the REAL JDK codecs; mismatched bytes — and
+    * valid-but-unsupported variants the real decoder rejects (stereo
+    * WAV, non-4-divisible geometry, empty clips) — keep the declared
+    * stub instead of failing the bulk job.
     */
   def featurize(media: Dataset[MediaRow], partitions: Int): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
@@ -354,11 +373,21 @@ object Multimodal {
         it.grouped(batchSize).flatMap { batch =>
           // batch boundary = where a vectorized decoder would be invoked
           batch.iterator.map { m =>
+            // featurize is the bulk-curation path: one odd-but-valid
+            // file (stereo WAV, non-4-divisible PNG, empty clip) must
+            // degrade to the stub, not fail the whole job. The
+            // hash-gated query paths (decodeImageBlockSums /
+            // videoFrameSums / wav sums) stay loud by calling the
+            // decoders directly.
             val feats =
-              if (m.kind == "image" && isPng(m.payload)) decodeImage(m.payload)
-              else if (m.kind == "audio" && isWav(m.payload)) decodeAudio(m.payload)
-              else if (m.kind == "video" && isGif(m.payload)) decodeVideo(m.payload)
-              else decodeStub(m.payload)
+              try {
+                if (m.kind == "image" && isPng(m.payload)) decodeImage(m.payload)
+                else if (m.kind == "audio" && isWav(m.payload)) decodeAudio(m.payload)
+                else if (m.kind == "video" && isGif(m.payload)) decodeVideo(m.payload)
+                else decodeStub(m.payload)
+              } catch {
+                case scala.util.control.NonFatal(_) => decodeStub(m.payload)
+              }
             MediaFeatures(m.media_id, m.kind, m.payload.length, feats)
           }
         }

@@ -206,6 +206,18 @@ class OpsSpec extends AnyFunSuite {
     assert(feats(1L).forall(v => v >= -0.5f && v < 0.5f))
   }
 
+  test("featurize degrades to the stub on decoder-rejected payloads instead of failing") {
+    // a header-only WAV passes the RIFF/WAVE sniff but decodeAudio
+    // rejects it loud (0 samples); featurize must not fail the job
+    val emptyWav = Multimodal.encodeWav(3L, 0)
+    assert(Multimodal.isWav(emptyWav))
+    intercept[Exception](Multimodal.decodeAudio(emptyWav))
+    val media = Seq(Multimodal.MediaRow(1L, "audio", emptyWav, 0, 1)).toDS()
+    val feats = Multimodal.featurize(media, 2).collect()
+    assert(feats.length == 1)
+    assert(feats.head.features.toSeq == Multimodal.decodeStub(emptyWav).toSeq)
+  }
+
   test("multimodal frame sampling: n typed frames per row") {
     val pages = Fixtures.pages(spark, Fixtures.tiny).toDF().limit(5)
     val media = Multimodal.mediaFromPages(spark, pages)
