@@ -209,10 +209,14 @@ object KgQueries {
         // a single-partition sort of the whole scored set (WindowExec
         // warns and moves every row to one task; nonviable at corpus
         // scale). (score, event_id) is a distinct total order.
+        // project to the three live columns BEFORE ranking: globalOrdered
+        // localCheckpoints its input, so every extra column is
+        // materialized corpus-wide for nothing
         val t = Ids.globalOrdered(
           triples(s, d)
-            .withColumn("pos", (col("value") > 100.0).cast("int"))
-            .withColumn("score", (col("event_id") % 100).cast("double") / 100.0),
+            .select(col("event_id"),
+              (col("value") > 100.0).cast("int").as("pos"),
+              ((col("event_id") % 100).cast("double") / 100.0).as("score")),
           Seq(col("score"), col("event_id")), "rnk")
         t.agg(
           sum(col("pos")).cast("long").as("p"),
@@ -253,10 +257,12 @@ object KgQueries {
         // (Ids.globalOrdered running-sum form) — replaces two
         // single-partition global windows; desc order flows through
         // range partitioner, local sort, and local window identically
+        // projected to the live columns before the checkpoint (see q15)
         val t = Ids.globalOrdered(
           triples(s, d)
-            .withColumn("pos", (col("value") > 100.0).cast("int"))
-            .withColumn("score", (col("event_id") % 100).cast("double") / 100.0),
+            .select(col("event_id"),
+              (col("value") > 100.0).cast("int").as("pos"),
+              ((col("event_id") % 100).cast("double") / 100.0).as("score")),
           Seq(col("score").desc, col("event_id")), "rnk",
           Seq(col("pos").cast("long") -> "cum_pos"))
         t.filter(col("pos") === 1)
@@ -293,10 +299,12 @@ object KgQueries {
       // (cnt-1)*q DIV 100 + 1 over the (score, edge_id)-sorted ranking.
       (s, d) => {
         val se = scored(s, d)
-        // distributed global rank (see q15) — (score, edge_id) distinct
-        val ranked = Ids.globalOrdered(se,
+        // distributed global rank (see q15) — (score, edge_id) distinct;
+        // projected before the checkpoint, and cnt reads the checkpoint
+        // back instead of recomputing the scored subtree
+        val ranked = Ids.globalOrdered(se.select("score", "edge_id"),
           Seq(col("score"), col("edge_id")), "rn")
-        val cnt = se.agg(count(lit(1)).as("cnt"))
+        val cnt = ranked.agg(count(lit(1)).as("cnt"))
         ranked.crossJoin(cnt)
           .select(col("score"), col("rn"), col("cnt"),
             explode(array(Seq(0, 25, 50, 75, 100).map(lit): _*)).as("pct"))
