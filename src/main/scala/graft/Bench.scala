@@ -214,9 +214,13 @@ object Bench {
     // SPARK_GRAFT_BENCH_OUT is an explicitly-routed experiment (record
     // captures, smoke runs at other sf dirs) and stays out of the
     // history — only env-less driver-shaped runs land there.
+    // ... and a run with ANY all-reps-failed query is excluded too: its
+    // "value" omits the failed queries' time, so the total would read as
+    // an improvement next to a clean run (the "failed" array flags it in
+    // the whole-file record; the append-only history stays comparable)
     val fullProtocol =
       !skipQueries && onlyQ.isEmpty && qReps == 1 && bucketRange.isEmpty &&
-        sys.env.get("SPARK_GRAFT_BENCH_OUT").isEmpty
+        sys.env.get("SPARK_GRAFT_BENCH_OUT").isEmpty && failedQ.isEmpty
     if (fullProtocol) {
       try {
         val p = java.nio.file.Paths.get("/root/repo/BENCH/bench_history.jsonl")
