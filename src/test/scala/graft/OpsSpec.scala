@@ -206,6 +206,42 @@ class OpsSpec extends AnyFunSuite {
     assert(feats(1L).forall(v => v >= -0.5f && v < 0.5f))
   }
 
+  test("decodeVideo normalizes each GIF frame by its OWN geometry (delta-frame shape)") {
+    // hand-build a 2-frame GIF whose second frame is a smaller
+    // sub-rectangle (the delta-optimized layout): a frame-0-sized
+    // divisor would mis-scale frame 1 by 4x
+    val wr = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    def flat(w: Int, h: Int, v: Int) = {
+      // explicit 256-gray indexed palette, like the engine's encoder —
+      // TYPE_BYTE_GRAY would be re-palettized lossily by the GIF writer
+      val p = Array.tabulate[Byte](256)(_.toByte)
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED,
+        new java.awt.image.IndexColorModel(8, 256, p, p, p))
+      val g = img.getRaster
+      for (y <- 0 until h; x <- 0 until w) g.setSample(x, y, 0, v)
+      img
+    }
+    try {
+      wr.setOutput(ios)
+      wr.prepareWriteSequence(null)
+      wr.writeToSequence(new javax.imageio.IIOImage(flat(16, 16, 100), null, null), null)
+      wr.writeToSequence(new javax.imageio.IIOImage(flat(8, 8, 200), null, null), null)
+      wr.endWriteSequence()
+    } finally { ios.close(); wr.dispose() }
+    val gif = bos.toByteArray
+    assert(Multimodal.isGif(gif))
+    // each flat frame's block mean equals its pixel value regardless of
+    // frame size, so the average of per-frame means is exactly 150
+    val feats = Multimodal.decodeVideo(gif)
+    val want = (150f / 2f / 255f) * 2f - 0.5f // (100/255 + 200/255)/2 - 0.5
+    assert(feats.length == Multimodal.featureDim)
+    feats.foreach(v => assert(math.abs(v - want) < 1e-6f,
+      s"per-frame normalization broken: $v vs $want"))
+  }
+
   test("featurize degrades to the stub on decoder-rejected payloads instead of failing") {
     // a header-only WAV passes the RIFF/WAVE sniff but decodeAudio
     // rejects it loud (0 samples); featurize must not fail the job
