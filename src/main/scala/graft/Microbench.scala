@@ -96,6 +96,21 @@ object Microbench {
     // parquet must not be deleted mid-measurement — and the Files.list
     // stream is closed (it holds an fd until closed).
     val evictAgeMs = 30L * 60 * 1000
+    // live-PID marker: mtime alone can't protect a run whose measurement
+    // phase outlasts the eviction age (a concurrent different-key JVM's
+    // sweep would delete the in-use cache mid-measurement), so eviction
+    // additionally skips dirs whose recorded owner JVM is still alive.
+    // An unreadable marker counts as alive — never delete on doubt.
+    def ownerAlive(d: java.nio.file.Path): Boolean = {
+      val f = d.resolve("_live_pid")
+      try {
+        java.nio.file.Files.exists(f) && {
+          val pid = new String(java.nio.file.Files.readAllBytes(f), "UTF-8").trim
+          pid.nonEmpty &&
+            java.nio.file.Files.exists(java.nio.file.Paths.get(s"/proc/$pid"))
+        }
+      } catch { case _: Throwable => true }
+    }
     val shm = java.nio.file.Files.list(java.nio.file.Paths.get("/dev/shm"))
     try {
       shm.forEach { d =>
@@ -104,7 +119,7 @@ object Microbench {
             java.nio.file.Files.getLastModifiedTime(d).toMillis
         } catch { case _: Throwable => 0L }
         if (d.getFileName.toString.startsWith("graft-micro-linked-") &&
-            d.toString != linkedDir && idleMs > evictAgeMs) {
+            d.toString != linkedDir && idleMs > evictAgeMs && !ownerAlive(d)) {
           scala.reflect.io.Directory(new java.io.File(d.toString)).deleteRecursively()
         }
       }
@@ -120,6 +135,13 @@ object Microbench {
     try java.nio.file.Files.setLastModifiedTime(
       java.nio.file.Paths.get(linkedDir),
       java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
+    catch { case _: Throwable => () }
+    // claim ownership for the eviction sweep's live-PID check (last
+    // claimant wins; same-key sharers only ever make eviction MORE
+    // conservative, never less)
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$linkedDir/_live_pid"),
+      ProcessHandle.current().pid().toString.getBytes("UTF-8"))
     catch { case _: Throwable => () }
     val linked = spark.read.parquet(linkedDir)
     time("evidence_agg")(

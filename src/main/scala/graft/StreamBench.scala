@@ -147,9 +147,16 @@ object StreamBench {
     * continuously against a 30 s gap) replayed as 16 time-ordered
     * parquet micro-batch files through the pending-session-list
     * [[graft.streaming.Sessions.gapSessionsState]] with a 10 s
-    * watermark. Measures events/s and per-trigger state (rows should
-    * hold steady at ~active users — the bound the event-time timeout
-    * exists to enforce — not grow with ever-seen users).
+    * watermark, plus a 17th single-row flush-sentinel file whose ts sits
+    * beyond maxTs + gap + watermark — without it each user's FINAL
+    * session can never finalize (the watermark never passes last+gap)
+    * and sessions_out under-reports by one session per user (450k of
+    * 500k), with the tail resident in state at shutdown. With it,
+    * sessions_out = users x sessionsPerUser exactly; only the sentinel's
+    * own 1-event session stays pending. Measures events/s and
+    * per-trigger state (rows should hold steady at ~active users — the
+    * bound the event-time timeout exists to enforce — not grow with
+    * ever-seen users).
     */
   private def benchSessions(spark: SparkSession, cpus: String,
       stateProvider: String, filesPerTrigger: Int): Unit = {
@@ -171,19 +178,31 @@ object StreamBench {
         (pmod(xxhash64(col("id")), lit(3L)) + 1).cast("int")).as("event_type"),
       (pmod(xxhash64(col("id"), lit(7L)), lit(1000L)).cast("double") / 100.0)
         .as("value"))
+    // flush sentinel: one event past maxTs + gap + watermark, staged as
+    // the LAST micro-batch file. maxTs = 1700000000 + 39*20 + 9*60; the
+    // sentinel sits a full minute beyond the last admissible watermark
+    // position so every user's final session finalizes (StreamingSpec's
+    // stagedSessionFeed discipline).
+    val sentinelTs = 1700000000L + 39 * 20 + 9 * 60 + gapMs / 1000 + 10 + 60
+    val sentinel = spark.range(1).select(
+      lit(nEvents).as("event_id"),
+      lit(sentinelTs).cast("timestamp").as("ts"),
+      lit(0L).as("user_id"),
+      lit("click").as("event_type"),
+      lit(0.0).as("value"))
     // staleness guard: the row count is invariant to the ts/value
-    // formulas (always exactly nEvents), so a count-only check would
-    // replay a stale feed after any generator fix — the marker pins
-    // the generator version + parameters and must match exactly
+    // formulas, so a count-only check would replay a stale feed after
+    // any generator fix — the marker pins the generator version +
+    // parameters and must match exactly
     val genParams =
-      s"v2 n=$nEvents users=$users files=$nFiles step=20 jump=60 perSession=4"
+      s"v3 n=$nEvents users=$users files=$nFiles step=20 jump=60 perSession=4 sentinel=$sentinelTs"
     val markerPath = java.nio.file.Paths.get(s"$inDir/_params")
     val staged = java.nio.file.Files.exists(markerPath) &&
       new String(java.nio.file.Files.readAllBytes(markerPath),
         "UTF-8") == genParams &&
       // a matching marker over a parquet-less dir (batch files cleaned,
       // marker left behind) must restage, not crash the schema inference
-      scala.util.Try(spark.read.parquet(inDir).count() == nEvents)
+      scala.util.Try(spark.read.parquet(inDir).count() == nEvents + 1)
         .getOrElse(false)
     if (!staged) {
       scala.reflect.io.Directory(new java.io.File(inDir)).deleteRecursively()
@@ -191,18 +210,22 @@ object StreamBench {
       val per = nEvents / nFiles
       // one file per contiguous id range, written in order: the file
       // source lists by mtime, so replay order == event-time order
-      (0 until nFiles).foreach { i =>
+      def stageOne(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
         val tmp = java.nio.file.Files.createTempDirectory("graft-sess-stage")
-        ev.filter(col("event_id") >= i * per && col("event_id") < (i + 1) * per)
-          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
         val part = {
           val s = java.nio.file.Files.list(tmp)
           try s.filter(p => p.toString.endsWith(".parquet")).findFirst().get()
           finally s.close()
         }
-        java.nio.file.Files.move(part, java.nio.file.Paths.get(
-          f"$inDir/b$i%03d.parquet"))
+        java.nio.file.Files.move(part, java.nio.file.Paths.get(s"$inDir/$name"))
       }
+      (0 until nFiles).foreach { i =>
+        stageOne(ev.filter(
+          col("event_id") >= i * per && col("event_id") < (i + 1) * per),
+          f"b$i%03d.parquet")
+      }
+      stageOne(sentinel, f"b$nFiles%03d.parquet")
       // marker last: a partially-staged dir never passes the guard
       java.nio.file.Files.write(markerPath, genParams.getBytes("UTF-8"))
     }

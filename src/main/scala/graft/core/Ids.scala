@@ -64,6 +64,19 @@ object Ids {
     val spark = df.sparkSession
     val parts = spark.sessionState.conf.numShufflePartitions
     val sumIns = runningSums.zipWithIndex.map { case ((c, _), i) => c.as(s"__si$i") }
+    // enforce the documented LONG contract up front: the offsets collect
+    // below reads the per-partition totals with getLong, so a double (or
+    // any non-long) running-sum column would otherwise surface as an
+    // opaque ClassCastException deep in the offset pass
+    if (runningSums.nonEmpty) {
+      val sumSchema = df.select(sumIns: _*).schema
+      runningSums.zipWithIndex.foreach { case ((_, name), i) =>
+        val dt = sumSchema(s"__si$i").dataType
+        require(dt == org.apache.spark.sql.types.LongType,
+          s"globalOrdered running-sum '$name' must be LONG " +
+            s"(exact-integer contract: scale doubles to integers first), got $dt")
+      }
+    }
     val ranged = df
       .select(col("*") +: sumIns: _*)
       .repartitionByRange(parts, orderCols: _*)

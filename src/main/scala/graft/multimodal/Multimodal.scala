@@ -365,8 +365,20 @@ object Multimodal {
     * WAV, non-4-divisible geometry, empty clips) — keep the declared
     * stub instead of failing the bulk job.
     */
-  def featurize(media: Dataset[MediaRow], partitions: Int): Dataset[MediaFeatures] = {
+  def featurize(media: Dataset[MediaRow], partitions: Int,
+      fallbackCounter: Option[org.apache.spark.util.LongAccumulator] = None)
+      : Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
+    // exception-path fallbacks are COUNTED: a systematic codec
+    // regression in this bulk path would otherwise degrade every row to
+    // stub features silently. The named accumulator surfaces in the
+    // Spark UI even when the caller doesn't pass its own; counts are
+    // at-least-once under task retry/speculation (observability, not an
+    // exact metric). Declared stub dispatch (kind/magic-byte mismatch)
+    // is NOT counted — that path is the documented contract, not decay.
+    val stubFallbacks = fallbackCounter.getOrElse(
+      media.sparkSession.sparkContext
+        .longAccumulator("graft.multimodal.featurize.stubFallbacks"))
     media
       .repartition(partitions, col("media_id"))
       .mapPartitions { it =>
@@ -386,7 +398,9 @@ object Multimodal {
                 else if (m.kind == "video" && isGif(m.payload)) decodeVideo(m.payload)
                 else decodeStub(m.payload)
               } catch {
-                case scala.util.control.NonFatal(_) => decodeStub(m.payload)
+                case scala.util.control.NonFatal(_) =>
+                  stubFallbacks.add(1L)
+                  decodeStub(m.payload)
               }
             MediaFeatures(m.media_id, m.kind, m.payload.length, feats)
           }

@@ -249,9 +249,18 @@ class OpsSpec extends AnyFunSuite {
     assert(Multimodal.isWav(emptyWav))
     intercept[Exception](Multimodal.decodeAudio(emptyWav))
     val media = Seq(Multimodal.MediaRow(1L, "audio", emptyWav, 0, 1)).toDS()
-    val feats = Multimodal.featurize(media, 2).collect()
+    val fallbacks = spark.sparkContext.longAccumulator("test.stubFallbacks")
+    val feats = Multimodal.featurize(media, 2, Some(fallbacks)).collect()
     assert(feats.length == 1)
     assert(feats.head.features.toSeq == Multimodal.decodeStub(emptyWav).toSeq)
+    // the degradation must be OBSERVABLE: the exception-path fallback
+    // increments the counter (declared stub dispatch must not — second
+    // run with a plain non-media payload stays at the same count)
+    assert(fallbacks.value == 1L)
+    val declared = Seq(Multimodal.MediaRow(2L, "image",
+      "not a png".getBytes("UTF-8"), 0, 0)).toDS()
+    Multimodal.featurize(declared, 2, Some(fallbacks)).collect()
+    assert(fallbacks.value == 1L)
   }
 
   test("multimodal frame sampling: n typed frames per row") {
