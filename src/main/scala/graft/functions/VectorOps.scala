@@ -52,16 +52,45 @@ object VectorOps {
     * narrow per-row computations with no join.
     */
   def centroidRanks(v: Column, centroids: Array[Array[Double]]): Column =
+    centroidRanks(v, InlineCentroids(centroids))
+
+  /** As above with an explicit matrix source — pass
+    * [[BroadcastCentroids]] when c is large (the inline matrix is
+    * serialized into EVERY task binary; a broadcast ships once per
+    * executor over torrent and the task closure carries only the
+    * handle). [[graft.similarity.Ann]] picks automatically by c.
+    */
+  def centroidRanks(v: Column, centroids: CentroidSource): Column =
     org.apache.spark.sql.GraftExpressionBridge.column(
       CentroidRanks(org.apache.spark.sql.GraftExpressionBridge.expression(v),
         centroids))
 }
 
-/** See [[VectorOps.centroidRanks]]. The cosine uses the same operation
-  * order as [[CosineSim]]. Centroid norms are precomputed once per
-  * (deserialized) expression instance.
+/** Where [[CentroidRanks]] gets its matrix: inline in the expression
+  * tree (small c) or via a Spark broadcast handle (large c). Both yield
+  * bit-identical results (AnnSpec c=1024 parity) — the choice only
+  * moves serialization cost: inline pays c x dim x 8 bytes per TASK
+  * binary; broadcast pays it once per executor.
   */
-case class CentroidRanks(child: Expression, centroids: Array[Array[Double]])
+sealed trait CentroidSource extends Serializable {
+  def matrix: Array[Array[Double]]
+}
+final case class InlineCentroids(m: Array[Array[Double]]) extends CentroidSource {
+  override def matrix: Array[Array[Double]] = m
+}
+final case class BroadcastCentroids(
+    bc: org.apache.spark.broadcast.Broadcast[Array[Array[Double]]])
+    extends CentroidSource {
+  override def matrix: Array[Array[Double]] = bc.value
+}
+
+/** See [[VectorOps.centroidRanks]]. The cosine uses the same operation
+  * order as [[CosineSim]]. The matrix is resolved from the
+  * [[CentroidSource]] once per (deserialized) expression instance —
+  * for [[BroadcastCentroids]] that is one `bc.value` per task, never
+  * per row — and centroid norms are precomputed at the same point.
+  */
+case class CentroidRanks(child: Expression, centroids: CentroidSource)
     extends UnaryExpression with CodegenFallback {
 
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
@@ -76,8 +105,10 @@ case class CentroidRanks(child: Expression, centroids: Array[Array[Double]])
           s"centroid_ranks expects array<double>, got $other")
     }
 
+  @transient private lazy val mat: Array[Array[Double]] = centroids.matrix
+
   @transient private lazy val cNorms: Array[Double] =
-    centroids.map { cv =>
+    mat.map { cv =>
       var s = 0.0; var i = 0
       while (i < cv.length) { s += cv(i) * cv(i); i += 1 }
       math.sqrt(s)
@@ -93,10 +124,10 @@ case class CentroidRanks(child: Expression, centroids: Array[Array[Double]])
     i = 0
     while (i < dim) { vn += va(i) * va(i); i += 1 }
     vn = math.sqrt(vn)
-    val cos = new Array[Double](centroids.length)
+    val cos = new Array[Double](mat.length)
     var c = 0
-    while (c < centroids.length) {
-      val cv = centroids(c)
+    while (c < mat.length) {
+      val cv = mat(c)
       val n = math.min(dim, cv.length)
       var dot = 0.0
       i = 0

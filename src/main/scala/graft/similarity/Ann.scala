@@ -125,6 +125,28 @@ object Ann {
     *
     * Returns (centroid matrix indexed by cid, index = (id, v, cid)).
     */
+  /** Inline matrices below this size ride in the expression tree (and
+    * therefore in EVERY serialized task binary); at or above it the
+    * matrix ships once per executor as a torrent broadcast and tasks
+    * carry only the handle. 128 KiB ~ the point where per-task copies
+    * start to dominate task-launch bytes: the fixture default
+    * (c=32 x dim=16 = 4 KiB) stays inline, a production
+    * c ~ sqrt(10^9) ~ 31k x dim=16 = 4 MB matrix broadcasts. Both
+    * paths are bit-identical (AnnSpec c=1024 parity).
+    */
+  private[graft] val InlineCentroidLimitBytes: Long = 128L * 1024
+
+  /** Pick inline vs broadcast transport for a centroid matrix by its
+    * size. Exposed package-private so AnnSpec can assert the cutover.
+    */
+  private[graft] def centroidSource(emb: DataFrame,
+      m: Array[Array[Double]]): graft.functions.CentroidSource = {
+    val bytes = m.iterator.map(_.length.toLong * 8).sum
+    if (bytes < InlineCentroidLimitBytes) graft.functions.InlineCentroids(m)
+    else graft.functions.BroadcastCentroids(
+      emb.sparkSession.sparkContext.broadcast(m))
+  }
+
   def ivfIndex(emb: DataFrame, c: Int,
       iters: Int = 2): (Array[Array[Double]], DataFrame) = {
     var centroids: Array[Array[Double]] = emb
@@ -139,7 +161,8 @@ object Ann {
     var it = 0
     while (it < iters) {
       val cid = element_at(
-        graft.functions.VectorOps.centroidRanks(col("v"), centroids), 1)
+        graft.functions.VectorOps.centroidRanks(col("v"),
+          centroidSource(emb, centroids)), 1)
       val means = emb.withColumn("cid", cid)
         .groupBy(col("cid"))
         .agg(array((0 until dim).map(d => avg(col("v")(d))): _*).as("cv"))
@@ -149,7 +172,8 @@ object Ann {
       it += 1
     }
     val cid = element_at(
-      graft.functions.VectorOps.centroidRanks(col("v"), centroids), 1)
+      graft.functions.VectorOps.centroidRanks(col("v"),
+        centroidSource(emb, centroids)), 1)
     (centroids, emb.select(col("id"), col("v"), cid.as("cid")))
   }
 
@@ -174,7 +198,8 @@ object Ann {
     val (centroids, index) = ivfIndex(emb, c, iters)
     val probes = queries.select(col("qid"), col("qv"),
       explode(slice(
-        graft.functions.VectorOps.centroidRanks(col("qv"), centroids),
+        graft.functions.VectorOps.centroidRanks(col("qv"),
+          centroidSource(queries, centroids)),
         1, nprobe)).as("cid"))
     probes.join(index, Seq("cid"))
       .filter(col("qid") =!= col("id"))

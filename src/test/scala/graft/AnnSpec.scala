@@ -100,6 +100,31 @@ class AnnSpec extends AnyFunSuite {
     assert(zr.forall(r => r.getAs[Double]("cos") == 0.0))
   }
 
+  test("centroid transport: broadcast path is bit-identical to inline at c=1024") {
+    import graft.functions.{BroadcastCentroids, InlineCentroids, VectorOps}
+    // deterministic c=1024 x dim=16 matrix — pure in (cid, d) via mix64,
+    // values in [-1, 1); no rand() so both runs see the same matrix
+    val dim = 16
+    val m = Array.tabulate(1024, dim)((c, d) =>
+      graft.core.Ids.mix64(c * 8191L + d).toDouble / Long.MaxValue)
+    val inline = emb.select(col("id"),
+      VectorOps.centroidRanks(col("v"), InlineCentroids(m)).as("r"))
+      .as[(Long, Seq[Int])].collect().sortBy(_._1)
+    val bcast = emb.select(col("id"),
+      VectorOps.centroidRanks(col("v"),
+        BroadcastCentroids(spark.sparkContext.broadcast(m))).as("r"))
+      .as[(Long, Seq[Int])].collect().sortBy(_._1)
+    assert(inline.length == bcast.length && inline.nonEmpty)
+    inline.zip(bcast).foreach { case ((ia, ir), (ba, br)) =>
+      assert(ia == ba && ir == br, s"rank mismatch at id=$ia")
+    }
+    // the auto-pick cutover: fixture-default c=32 stays inline (4 KiB),
+    // c=1024 x dim=16 = 128 KiB crosses InlineCentroidLimitBytes
+    val small = Array.tabulate(32, dim)((c, d) => m(c)(d))
+    assert(Ann.centroidSource(emb, small).isInstanceOf[InlineCentroids])
+    assert(Ann.centroidSource(emb, m).isInstanceOf[BroadcastCentroids])
+  }
+
   test("brute-force agrees with the q42 driver query on overlap") {
     val q42 = SparkEntry.queries("q42_cosine_topk")(spark, sf)
       .filter(col("qid") < 10)
