@@ -1171,6 +1171,48 @@ object DataQueries {
               |       round(round(0.6 * s1 + 0.4 * s2 + 0.0, 9), 6) AS score
               |FROM a JOIN b USING (subject, predicate, "object")""".stripMargin)),
 
+    QueryDef("q86_blend_fit",
+      // TRAINED blend weights (ensembling/blend.py:40-52 learns the
+      // 2->1 nn.Linear; q50 uses the fixed-weight form as the
+      // cross-check). Deterministic stand-in for the margin-ranking
+      // fit: closed-form least squares (s1, s2) -> 0/1 label via the
+      // 2x2 normal equations over exact-integer sufficient statistics
+      // (order-independent sums — see Ensemble.fitBlend for the
+      // overflow/parity arithmetic). Small moduli (10, 7, 3) keep every
+      // cross-product term far inside long and double-exact range.
+      (s, d) => {
+        val g = triples(s, d).groupBy("subject", "predicate", "object")
+          .agg((min(col("event_id")) % 10).as("a"),
+            (min(col("event_id")) % 7).as("b"),
+            when(min(col("event_id")) % 3 === 0, 1L).otherwise(0L).as("y"))
+        graft.prune.Ensemble.fitBlend(g, 10, 7)
+      },
+      Some(s"""WITH t AS ($triplesSql),
+              |g AS (SELECT subject, predicate, "object",
+              |        min(event_id) % 10 AS a,
+              |        min(event_id) % 7 AS b,
+              |        CASE WHEN min(event_id) % 3 = 0 THEN 1 ELSE 0 END AS y
+              |      FROM t GROUP BY 1,2,3),
+              |st AS (SELECT CAST(sum(a*a) AS BIGINT) AS saa,
+              |              CAST(sum(a*b) AS BIGINT) AS sab,
+              |              CAST(sum(b*b) AS BIGINT) AS sbb,
+              |              CAST(sum(a*y) AS BIGINT) AS say,
+              |              CAST(sum(b*y) AS BIGINT) AS sby
+              |       FROM g),
+              |w AS (SELECT
+              |        CAST(10*(say*sbb - sby*sab) AS DOUBLE)
+              |          / CAST(saa*sbb - sab*sab AS DOUBLE) AS w1,
+              |        CAST(7*(sby*saa - say*sab) AS DOUBLE)
+              |          / CAST(saa*sbb - sab*sab AS DOUBLE) AS w2
+              |      FROM st)
+              |SELECT subject, predicate, "object",
+              |  round(CAST(a AS DOUBLE) / CAST(10 AS DOUBLE), 6) AS s1,
+              |  round(CAST(b AS DOUBLE) / CAST(7 AS DOUBLE), 6) AS s2,
+              |  round(w1, 6) AS w1, round(w2, 6) AS w2,
+              |  round(w1 * (CAST(a AS DOUBLE) / CAST(10 AS DOUBLE))
+              |      + w2 * (CAST(b AS DOUBLE) / CAST(7 AS DOUBLE)), 6) AS score
+              |FROM g CROSS JOIN w""".stripMargin)),
+
     QueryDef("q51_softmax_rel",
       // relation sampling distribution: softmax over per-relation counts
       // (graph_sampler.py:51-56)

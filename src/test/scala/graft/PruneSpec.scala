@@ -254,4 +254,49 @@ class PruneSpec extends AnyFunSuite {
       .as[(String, Long, Int)].collect().sorted.toSeq
     assert(salted == plain)
   }
+
+  // ----------------------------------------------------- trained blend fit
+
+  test("fitBlend recovers exact weights when the label is exactly linear") {
+    // y = 2a + 3b exactly => least squares is exact: u1=2, u2=3, so in
+    // normalized-score space w1 = d1*2 = 20, w2 = d2*3 = 21, residual 0
+    val g = (0 until 200).map { i =>
+      val a = (i * 7 + 3) % 10L
+      val b = (i * 5 + 1) % 7L
+      (s"s$i", "p", s"o$i", a, b, 2 * a + 3 * b)
+    }.toDF("subject", "predicate", "object", "a", "b", "y")
+    val out = graft.prune.Ensemble.fitBlend(g, 10, 7)
+    val rows = out.collect()
+    assert(rows.length == 200)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("w1") == 20.0, s"w1=${r.getAs[Double]("w1")}")
+      assert(r.getAs[Double]("w2") == 21.0, s"w2=${r.getAs[Double]("w2")}")
+      // perfect fit: blended score reproduces the integer label 2a + 3b
+      // (recover a, b from the 6dp-rounded s columns before scaling —
+      // comparing against s2*7 directly re-amplifies the rounding)
+      val a = math.round(r.getAs[Double]("s1") * 10)
+      val b = math.round(r.getAs[Double]("s2") * 7)
+      assert(math.abs(r.getAs[Double]("score") - (2.0 * a + 3.0 * b)) < 1e-6)
+    }
+  }
+
+  test("fitBlend on a 0/1 label: weights finite, score = w1*s1 + w2*s2") {
+    val g = (0 until 300).map { i =>
+      val a = (i * 11 + 2) % 10L
+      val b = (i * 13 + 5) % 7L
+      val y = if ((a + 2 * b) % 3 == 0) 1L else 0L
+      (s"s$i", "p", s"o$i", a, b, y)
+    }.toDF("subject", "predicate", "object", "a", "b", "y")
+    val rows = graft.prune.Ensemble.fitBlend(g, 10, 7).collect()
+    assert(rows.length == 300)
+    val w1 = rows.head.getAs[Double]("w1")
+    val w2 = rows.head.getAs[Double]("w2")
+    assert(!w1.isNaN && !w1.isInfinite && !w2.isNaN && !w2.isInfinite)
+    assert(rows.forall(r => r.getAs[Double]("w1") == w1)) // one global fit
+    rows.foreach { r =>
+      val s = r.getAs[Double]("score")
+      val recomputed = w1.*(r.getAs[Double]("s1")) + w2.*(r.getAs[Double]("s2"))
+      assert(math.abs(s - recomputed) < 2e-6, s"score=$s recomputed=$recomputed")
+    }
+  }
 }
