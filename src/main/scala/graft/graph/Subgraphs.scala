@@ -32,12 +32,38 @@ object Subgraphs {
   /** edges(src,dst) symmetric; candidates(edge_id, head, tail).
     * Returns one row per kept subgraph node:
     * (edge_id, node, d_head, d_tail).
+    *
+    * `mode` mirrors the reference's `enclosing_sub_graph` switch
+    * (graph_sampler.py:327-331): "enclosing" (default — the driver
+    * path, unchanged) intersects the per-root root-removed
+    * neighborhoods; "union" takes roots + N_h(head) ∪ N_h(tail)
+    * gathered WITHOUT root removal (get_neighbor_nodes,
+    * graph_sampler.py:283-297 removes no roots) and then labels within
+    * the induced subgraph with the other root removed (node_label,
+    * graph_sampler.py:365-391).
+    *
+    * Equivalence note (proved in GraphSpec "uncapped modes coincide"):
+    * with NO per-hop cap the two modes emit identical rows — any ≤ h
+    * root-removed path from a kept node to a root consists of nodes
+    * that are themselves within h of that root, hence inside the union
+    * neighborhood, so union-induced distances equal full-graph
+    * root-removed distances, and the pruned union set collapses to the
+    * intersection set. The modes genuinely diverge once
+    * `maxNodesPerHop` caps bind: enclosing samples per root-removed
+    * frontier, union per unremoved frontier (the reference's
+    * np.random.choice domains differ the same way), so different nodes
+    * survive the cap.
     */
   def encloseAndLabel(
       edges: DataFrame,
       candidates: DataFrame,
       h: Int,
-      maxNodesPerHop: Option[Int] = None): DataFrame = {
+      maxNodesPerHop: Option[Int] = None,
+      mode: String = "enclosing"): DataFrame = {
+    require(mode == "enclosing" || mode == "union",
+      s"encloseAndLabel mode must be enclosing|union, got '$mode'")
+    if (mode == "union")
+      return unionExtract(edges, candidates, h, maxNodesPerHop)
 
     // BFS from one root per candidate with the OTHER root removed.
     // frontier rows: (edge_id, other, node, dist)
@@ -94,6 +120,80 @@ object Subgraphs {
       .filter(greatest(col("d_head"), col("d_tail")) <= h)
 
     roots.unionAll(nonRoots)
+  }
+
+  /** Union-mode extraction (graph_sampler.py:331 `else` branch):
+    * per-root BFS WITHOUT root removal (get_neighbor_nodes semantics,
+    * with the per-level md5 cap applied per root exactly as the
+    * reference applies np.random.choice per root), nodes = roots ∪
+    * N_h(head) ∪ N_h(tail), then double-radius labels within the
+    * induced subgraph (other root removed) and the max(d) <= h prune —
+    * the same shared beam body as the community path, community
+    * pruning off.
+    */
+  private def unionExtract(
+      edges: DataFrame,
+      candidates: DataFrame,
+      h: Int,
+      maxNodesPerHop: Option[Int]): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+
+    // BFS from one root, NO other-root removal (the union gather may
+    // legitimately pass through the other root — such nodes are later
+    // pruned by the root-removed labeling, but they belong to U).
+    def gather(rootCol: String): DataFrame = {
+      var visited = candidates.select(
+        col("edge_id"), col(rootCol).as("node"))
+        .localCheckpoint(true)
+      var frontier = visited
+      var level = 0
+      while (level < h && frontier.limit(1).count() > 0) {
+        level += 1
+        var next = frontier
+          .join(edges, frontier("node") === edges("src"))
+          .select(col("edge_id"), col("dst").as("node"))
+          .distinct()
+          .join(visited.select(col("edge_id").as("v_eid"), col("node").as("v_node")),
+            col("edge_id") === col("v_eid") && col("node") === col("v_node"),
+            "left_anti")
+          .select("edge_id", "node")
+        maxNodesPerHop.foreach { cap =>
+          next = next.withColumn("__rn", row_number().over(
+            Window.partitionBy("edge_id").orderBy(md5(col("node").cast("string")))))
+            .filter(col("__rn") <= cap)
+            .drop("__rn")
+        }
+        frontier = next.localCheckpoint(true)
+        visited = visited.unionAll(frontier).localCheckpoint(true)
+      }
+      visited
+    }
+
+    val u = gather("head").unionAll(gather("tail")).distinct()
+
+    // induced edges per candidate + per-candidate marker row (the
+    // community path's shape; src_deg is unused without the sweep)
+    val n1 = u.select(col("edge_id"), col("node").as("__s"))
+    val n2 = u.select(col("edge_id").as("__e2"), col("node").as("__d"))
+    val induced = edges
+      .join(n1, edges("src") === n1("__s"))
+      .join(n2, col("edge_id") === col("__e2") && edges("dst") === n2("__d"))
+      .select(col("edge_id"), col("src"), col("dst"))
+    val markers = candidates.select(col("edge_id"),
+      col("head").as("src"), col("head").as("dst"))
+    val beam = induced.unionAll(markers)
+      .join(candidates, Seq("edge_id"))
+      .select(col("edge_id"), col("head"), col("tail"),
+        col("src"), col("dst"), lit(0L).as("src_deg"))
+      .as[BeamEdge]
+
+    beam.groupByKey(_.edge_id).flatMapGroups { (eid, rows) =>
+      val buf = rows.toArray
+      communityLabelBeam(eid, buf.head.head, buf.head.tail,
+        buf.iterator.map(r => (r.src, r.dst, r.src_deg.toInt)), 0.0, h,
+        community = false)
+    }.toDF()
   }
 
   /** One gathered beam row: an induced edge of a candidate's h-hop
@@ -276,7 +376,7 @@ object Subgraphs {
     */
   private def communityLabelBeam(eid: String, head: Long, tail: Long,
       edges: Iterator[(Long, Long, Int)], totalVol: Double,
-      h: Int): Iterator[LabeledNode] = {
+      h: Int, community: Boolean = true): Iterator[LabeledNode] = {
     val buf = edges.toArray
     val fullDeg: Map[Long, Int] = buf.iterator.map(r => r._1 -> r._3).toMap
     val adj: Map[Long, Array[Long]] = buf.iterator
@@ -284,10 +384,16 @@ object Subgraphs {
       .map(r => r._1 -> r._2) // edges arrive symmetric
       .toSeq.groupBy(_._1)
       .map { case (k, v) => k -> v.map(_._2).distinct.sorted.toArray }
-    val ppr = Ppr.approximatePpr(adj, Seq(head, tail), fullDeg = fullDeg)
-    val community = Ppr.sweepCut(adj, ppr, fullDeg, Some(totalVol))
-    val cluster = (community - head - tail)
-      .intersect(adj.keySet ++ adj.valuesIterator.flatten) // C ∩ U
+    // union mode skips multicom: cluster = all gathered non-root nodes
+    // (graph_sampler.py:331 list(ind) + list(subgraph_nei_nodes_un))
+    val cluster =
+      if (!community) (adj.keySet ++ adj.valuesIterator.flatten) - head - tail
+      else {
+        val ppr = Ppr.approximatePpr(adj, Seq(head, tail), fullDeg = fullDeg)
+        val comm = Ppr.sweepCut(adj, ppr, fullDeg, Some(totalVol))
+        (comm - head - tail)
+          .intersect(adj.keySet ++ adj.valuesIterator.flatten) // C ∩ U
+      }
     val subNodes = Set(head, tail) ++ cluster
     val subAdj: Map[Long, Array[Long]] = adj.collect {
       case (k, vs) if subNodes(k) => k -> vs.filter(subNodes)

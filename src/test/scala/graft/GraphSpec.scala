@@ -52,6 +52,56 @@ class GraphSpec extends AnyFunSuite {
     assert(!got.contains(3L))
   }
 
+  test("union mode: uncapped output coincides with enclosing (theorem) — diamond") {
+    // With no per-hop cap the two reference modes emit identical rows:
+    // every node on a <= h root-removed path is itself within h of that
+    // root, so the union-induced distances equal the full-graph
+    // root-removed distances and the max(d) <= h prune collapses the
+    // union set to the intersection set (see Subgraphs.encloseAndLabel
+    // scaladoc). Assert the exact golden on both modes.
+    val cands = Seq(("e1", 10L, 13L)).toDF("edge_id", "head", "tail")
+    val expect = Map(10L -> ((0, 1)), 13L -> ((1, 0)),
+      11L -> ((1, 1)), 12L -> ((1, 1)))
+    for (mode <- Seq("enclosing", "union")) {
+      val got = Subgraphs.encloseAndLabel(edges, cands, 2, None, mode)
+        .as[(String, Long, Int, Int)].collect()
+        .map { case (_, n, dh, dt) => n -> ((dh, dt)) }.toMap
+      assert(got == expect, s"mode=$mode")
+    }
+  }
+
+  test("union vs enclosing diverge under a binding per-hop cap (golden)") {
+    // head=1, tail=20, shared neighbors {5, 13}; h=1, cap=1.
+    // md5 order: md5("20")=98f… < md5("1")=c4c… < md5("13")=c51… <
+    // md5("5")=e4d… . The union gather's sampling domain INCLUDES the
+    // other root (get_neighbor_nodes removes no roots), so the cap=1
+    // pick from node 1's frontier {20, 5, 13} is the tail itself and
+    // the real neighbors are crowded out; the enclosing gather samples
+    // the root-removed frontier {5, 13} and keeps 13. Exactly the
+    // reference's two np.random.choice domains, md5-deterministic.
+    val e = Bfs.undirected(Seq(
+      (1L, 20L), (1L, 5L), (1L, 13L), (20L, 5L), (20L, 13L))
+      .toDF("src", "dst"))
+    val cands = Seq(("e1", 1L, 20L)).toDF("edge_id", "head", "tail")
+    def run(mode: String): Map[Long, (Int, Int)] =
+      Subgraphs.encloseAndLabel(e, cands, 1, Some(1), mode)
+        .as[(String, Long, Int, Int)].collect()
+        .map { case (_, n, dh, dt) => n -> ((dh, dt)) }.toMap
+    val enclosing = run("enclosing")
+    val union = run("union")
+    assert(enclosing == Map(1L -> ((0, 1)), 20L -> ((1, 0)), 13L -> ((1, 1))))
+    assert(union == Map(1L -> ((0, 1)), 20L -> ((1, 0))))
+    assert(enclosing != union)
+  }
+
+  test("encloseAndLabel rejects an unknown mode") {
+    val cands = Seq(("e1", 10L, 13L)).toDF("edge_id", "head", "tail")
+    val ex = intercept[IllegalArgumentException] {
+      Subgraphs.encloseAndLabel(edges, cands, 2, None, "both")
+    }
+    assert(ex.getMessage.contains("enclosing|union"))
+  }
+
   test("subgraph records: sorted nodes + label arrays") {
     val cands = Seq(("e1", 10L, 13L)).toDF("edge_id", "head", "tail")
     val rec = Subgraphs.records(Subgraphs.encloseAndLabel(edges, cands, 2))
