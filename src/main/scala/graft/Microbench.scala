@@ -27,6 +27,32 @@ object Microbench {
       println(f"[micro] cpus=$cpus $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
     }
 
+    // media mode: args = <sfDir> media [amplify] — isolates the
+    // sampleFrames codec path (per-partition reader/writer reuse A/B).
+    // Builds real 4-frame GIF clips from the documents table, amplified
+    // x`amplify` (default 20), and times frame extraction + PNG
+    // re-encode end-to-end (sum of payload lengths defeats pruning).
+    if (args.length > 1 && args(1) == "media") {
+      import spark.implicits._
+      val amplify = if (args.length > 2) args(2).toInt else 20
+      val docs = spark.read.parquet(s"${args(0)}/documents.parquet")
+        .select(col("doc_id")).as[Long]
+        .flatMap(id => (0 until amplify).map(i => id * 64 + i))
+        .toDF("doc_id")
+      val media = graft.multimodal.Multimodal
+        .mediaFromDocsVideo(spark, docs)
+        .localCheckpoint(true) // encode cost OUT of the timed section
+      val clips = media.count()
+      (1 to 3).foreach { rep =>
+        time(s"frame_sample_rep$rep")(
+          graft.multimodal.Multimodal.sampleFrames(media, 4)
+            .agg(sum(length(col("frame_payload")))).collect()(0).getLong(0))
+      }
+      println(s"[micro] media clips = $clips")
+      spark.stop()
+      return
+    }
+
     val pages = spark.read.parquet(pagesDir).drop("bucket")
     println(s"[micro] input partitions = ${pages.rdd.getNumPartitions}")
     time("read_count")(pages.count())

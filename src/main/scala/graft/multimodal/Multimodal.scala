@@ -418,10 +418,24 @@ object Multimodal {
     */
   def sampleFrames(media: Dataset[MediaRow], nFrames: Int): DataFrame = {
     import media.sparkSession.implicits._
-    media.flatMap { m =>
-      if (m.kind == "video" && isGif(m.payload)) {
-        val rd = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
-        try {
+    media.mapPartitions { it =>
+      // ONE reader/writer pair per PARTITION (featurize's amortization
+      // discipline): the plugin lookup + codec instantiation previously
+      // ran per row (reader) and per frame (ImageIO.write's internal
+      // writer) — pure allocation churn on a bulk media scan. setInput/
+      // setOutput re-arm the same instances per row; dispose fires once
+      // when the partition iterator drains (empty partitions never
+      // instantiate — lazy vals).
+      var codecsUsed = false
+      lazy val gifReader = {
+        codecsUsed = true
+        javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+      }
+      lazy val pngWriter =
+        javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
+      val rows = it.flatMap { m =>
+        if (m.kind == "video" && isGif(m.payload)) {
+          val rd = gifReader
           rd.setInput(javax.imageio.ImageIO.createImageInputStream(
             new java.io.ByteArrayInputStream(m.payload)))
           val n = math.min(nFrames, rd.getNumImages(true))
@@ -443,17 +457,25 @@ object Multimodal {
               y += 1
             }
             val bos = new java.io.ByteArrayOutputStream()
-            javax.imageio.ImageIO.write(rgb, "png", bos)
+            val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+            try {
+              pngWriter.setOutput(ios)
+              pngWriter.write(rgb)
+            } finally ios.close()
             (m.media_id, f, bos.toByteArray)
           }
-        } finally rd.dispose()
-      } else {
-        val stride = math.max(1, m.payload.length / math.max(nFrames, 1))
-        (0 until math.min(nFrames, m.payload.length)).map { f =>
-          val start = f * stride
-          val end = math.min(start + stride, m.payload.length)
-          (m.media_id, f, m.payload.slice(start, end))
+        } else {
+          val stride = math.max(1, m.payload.length / math.max(nFrames, 1))
+          (0 until math.min(nFrames, m.payload.length)).map { f =>
+            val start = f * stride
+            val end = math.min(start + stride, m.payload.length)
+            (m.media_id, f, m.payload.slice(start, end))
+          }
         }
+      }
+      rows ++ {
+        if (codecsUsed) { gifReader.dispose(); pngWriter.dispose() }
+        Iterator.empty
       }
     }.toDF("media_id", "frame_idx", "frame_payload")
   }
