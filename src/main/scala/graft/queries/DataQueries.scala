@@ -784,23 +784,11 @@ object DataQueries {
               |FROM alld a JOIN sz s USING (cluster)""".stripMargin)),
 
     QueryDef("q41_ngram_jaccard",
-      // n-gram Jaccard near-dup over a bounded candidate set
-      (s, d) => {
-        val sh = table(s, d, "documents").filter(col("doc_id") < 200)
-          .withColumn("t", toks).filter(size(col("t")) >= 3)
-          .select(col("doc_id"), explode(array_distinct(shingles(col("t")))).as("sh"))
-        val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-        val inter = sh.join(sh.select(col("doc_id").as("id2"), col("sh")), Seq("sh"))
-          .filter(col("doc_id") < col("id2"))
-          .groupBy(col("doc_id").as("id1"), col("id2")).agg(count(lit(1)).as("inter"))
-        inter
-          .join(cnt.select(col("doc_id").as("id1"), col("n").as("n1")), Seq("id1"))
-          .join(cnt.select(col("doc_id").as("id2"), col("n").as("n2")), Seq("id2"))
-          .withColumn("jaccard", round(col("inter").cast("double") /
-            (col("n1") + col("n2") - col("inter")), 6))
-          .filter(col("jaccard") >= 0.02)
-          .select("id1", "id2", "inter", "jaccard")
-      },
+      // n-gram Jaccard near-dup — the bounded pairwise verifier; the
+      // bound and threshold are caller parameters of NgramJaccard.pairs
+      // (fixture defaults here), not baked literals
+      (s, d) => graft.dedup.NgramJaccard.pairs(
+        table(s, d, "documents"), minJaccard = 0.02, candidateBound = Some(200L)),
       Some(s"""WITH docs AS (SELECT doc_id, string_split(text, ' ') AS t
               |             FROM documents WHERE doc_id < 200),
               |sh AS (SELECT doc_id, unnest(list_distinct($shinglesSqlDuck)) AS sh

@@ -77,4 +77,27 @@ class DedupSpec extends AnyFunSuite {
     assert(hit.toDouble / got.count() >= 0.95)
     assert(hit.toDouble / want.count() >= 0.90)
   }
+
+  test("NgramJaccard: candidateBound parameterized; None == bound above max id") {
+    val docs = Seq(
+      (1L, "a b c d e f"), (2L, "a b c d x y"), // share shingles
+      (250L, "a b c d e f"), // above the fixture default bound
+      (3L, "p q r s t u")) // no shared shingles
+      .toDF("doc_id", "text")
+    val bounded = graft.dedup.NgramJaccard.pairs(docs, 0.02, Some(200L))
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(bounded.map(p => (p._1, p._2)) == Set((1L, 2L)))
+    val unbounded = graft.dedup.NgramJaccard.pairs(docs, 0.02, None)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    // doc 250 duplicates doc 1 exactly: unbounded finds the pair the
+    // bound excluded, and a bound past the max id is identical to None
+    assert(unbounded.map(p => (p._1, p._2)) == Set((1L, 2L), (1L, 250L), (2L, 250L)))
+    val wide = graft.dedup.NgramJaccard.pairs(docs, 0.02, Some(10000L))
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(wide == unbounded)
+    // threshold is a parameter too: jaccard(1,250) = 1.0 survives 0.5
+    val strict = graft.dedup.NgramJaccard.pairs(docs, 0.5, None)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(strict.map(p => (p._1, p._2)) == Set((1L, 250L)))
+  }
 }
