@@ -39,8 +39,22 @@ object StreamBench {
       case other => sys.error(
         s"SPARK_GRAFT_STATE_PROVIDER '$other': expected hdfs or rocksdb")
     }
+    // knob sweep hook (provider-attribution A/Bs): semicolon-separated
+    // key=value Spark confs, e.g. SPARK_GRAFT_STATE_CONF=
+    // "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled=true;
+    //  spark.sql.streaming.stateStore.rocksdb.blockCacheSizeMB=64".
+    // Recorded verbatim in the emitted JSON so every jsonl row names
+    // the exact configuration it measured.
+    val stateConf = sys.env.getOrElse("SPARK_GRAFT_STATE_CONF", "")
+    val stateConfPairs = stateConf.split(';').iterator
+      .map(_.trim).filter(_.nonEmpty)
+      .map { kv =>
+        val i = kv.indexOf('=')
+        require(i > 0, s"SPARK_GRAFT_STATE_CONF entry '$kv': expected key=value")
+        (kv.substring(0, i).trim, kv.substring(i + 1).trim)
+      }.toSeq
     val nFiles = 16
-    val spark = SparkSession.builder()
+    val builder0 = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-stream-bench")
       .config("spark.sql.streaming.stateStore.providerClass", providerClass)
@@ -52,12 +66,14 @@ object StreamBench {
         sys.env.getOrElse("SPARK_LOCAL_DIRS", "/dev/shm/graft-spark"))
       .config("spark.sql.join.preferSortMergeJoin", "false")
       .config("spark.sql.autoBroadcastJoinThreshold", "256m")
+    val spark = stateConfPairs
+      .foldLeft(builder0) { case (b, (k, v)) => b.config(k, v) }
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     val surface = sys.env.getOrElse("SPARK_GRAFT_STREAM_SURFACE", "kg")
     if (surface == "sessions") {
-      benchSessions(spark, cpus, stateProvider, filesPerTrigger)
+      benchSessions(spark, cpus, stateProvider, filesPerTrigger, stateConf)
       spark.stop()
       return
     }
@@ -123,7 +139,7 @@ object StreamBench {
       .flatMap(_.stateOperators.headOption).map(_.memoryUsedBytes).getOrElse(0L)
     val json =
       s"""{"metric":"stream_kg","scale":"$kgScale","cpus":$cpus,""" +
-        s""""state_provider":"$stateProvider",""" +
+        s""""state_provider":"$stateProvider","state_conf":"$stateConf",""" +
         s""""pages":$nPages,"linked_rows":$linkedRows,"wall_sec":$wall,""" +
         s""""pages_per_sec":${nPages / wall},"n_triggers":${triggers.size},""" +
         s""""files_per_trigger":$filesPerTrigger,"state_rows":$stateRowsFinal,""" +
@@ -159,7 +175,8 @@ object StreamBench {
     * ever-seen users).
     */
   private def benchSessions(spark: SparkSession, cpus: String,
-      stateProvider: String, filesPerTrigger: Int): Unit = {
+      stateProvider: String, filesPerTrigger: Int,
+      stateConf: String = ""): Unit = {
     import spark.implicits._
     val nEvents = 2000000L
     val users = 50000L
@@ -259,7 +276,8 @@ object StreamBench {
     val lastState = triggers.lastOption.flatMap(_.stateOperators.headOption)
     val json =
       s"""{"metric":"stream_sessions","cpus":$cpus,""" +
-        s""""state_provider":"$stateProvider","events":$nEvents,""" +
+        s""""state_provider":"$stateProvider","state_conf":"$stateConf",""" +
+        s""""events":$nEvents,""" +
         s""""users":$users,"sessions_out":$sessionsOut,"wall_sec":$wall,""" +
         s""""events_per_sec":${nEvents / wall},"n_triggers":${triggers.size},""" +
         s""""files_per_trigger":$filesPerTrigger,""" +
