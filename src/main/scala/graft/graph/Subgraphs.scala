@@ -65,12 +65,20 @@ object Subgraphs {
     if (mode == "union")
       return unionExtract(edges, candidates, h, maxNodesPerHop)
 
-    // BFS from one root per candidate with the OTHER root removed.
-    // frontier rows: (edge_id, other, node, dist)
-    def bfs(rootCol: String, otherCol: String): DataFrame = {
+    // BFS from both roots per candidate (side 0 = head, 1 = tail), the
+    // OTHER root removed per side. The two per-root walks are
+    // independent, so running them as one side-keyed frontier halves
+    // the fixed per-level job count (each level = join + anti-join +
+    // localCheckpoint) without changing a single emitted row — the
+    // dedup, cap window and root-removal filter are all keyed by
+    // (edge_id, side). frontier rows: (edge_id, side, other, node, dist)
+    def bfsBoth(): DataFrame = {
       var visited = candidates.select(
-        col("edge_id"), col(otherCol).as("other"),
-        col(rootCol).as("node"), lit(0).as("dist"))
+        col("edge_id"), lit(0).as("side"), col("tail").as("other"),
+        col("head").as("node"), lit(0).as("dist"))
+        .unionAll(candidates.select(
+          col("edge_id"), lit(1).as("side"), col("head").as("other"),
+          col("tail").as("node"), lit(0).as("dist")))
         .localCheckpoint(true)
       var frontier = visited
       var level = 0
@@ -79,30 +87,38 @@ object Subgraphs {
         var next = frontier
           .join(edges, frontier("node") === edges("src"))
           .filter(col("dst") =!= col("other")) // other root removed
-          .select(col("edge_id"), col("other"), col("dst").as("node"))
+          .select(col("edge_id"), col("side"), col("other"), col("dst").as("node"))
           .distinct()
-          .join(visited.select(col("edge_id").as("v_eid"), col("node").as("v_node")),
-            col("edge_id") === col("v_eid") && col("node") === col("v_node"),
+          .join(visited.select(col("edge_id").as("v_eid"),
+              col("side").as("v_side"), col("node").as("v_node")),
+            col("edge_id") === col("v_eid") && col("side") === col("v_side") &&
+              col("node") === col("v_node"),
             "left_anti")
-        // per-candidate per-level cap (dgl_utils.py:26-27): bounded
-        // frontier even when a candidate touches a hub node
+        // per-candidate per-side per-level cap (dgl_utils.py:26-27):
+        // bounded frontier even when a candidate touches a hub node
         maxNodesPerHop.foreach { cap =>
           next = next.withColumn("__rn", row_number().over(
-            Window.partitionBy("edge_id").orderBy(md5(col("node").cast("string")))))
+            Window.partitionBy("edge_id", "side")
+              .orderBy(md5(col("node").cast("string")))))
             .filter(col("__rn") <= cap)
             .drop("__rn")
         }
         frontier = next
-          .select(col("edge_id"), col("other"), col("node"), lit(level).as("dist"))
+          .select(col("edge_id"), col("side"), col("other"), col("node"),
+            lit(level).as("dist"))
           .localCheckpoint(true)
-        visited = visited.unionAll(frontier).localCheckpoint(true)
+        // visited needs no checkpoint of its own: it is a union of
+        // already-checkpointed frames, so the anti-join re-reads cached
+        // blocks instead of paying one more eager job per level
+        visited = visited.unionAll(frontier)
       }
       visited.drop("other")
     }
 
-    val fromHead = bfs("head", "tail")
+    val walked = bfsBoth()
+    val fromHead = walked.filter(col("side") === 0).drop("side")
       .withColumnRenamed("dist", "d_head")
-    val fromTail = bfs("tail", "head")
+    val fromTail = walked.filter(col("side") === 1).drop("side")
       .withColumnRenamed("dist", "d_tail")
 
     // enclosing: nodes reached from BOTH roots (inner join) …
@@ -139,12 +155,19 @@ object Subgraphs {
     val spark = edges.sparkSession
     import spark.implicits._
 
-    // BFS from one root, NO other-root removal (the union gather may
+    // BFS with NO other-root removal (the union gather may
     // legitimately pass through the other root — such nodes are later
     // pruned by the root-removed labeling, but they belong to U).
-    def gather(rootCol: String): DataFrame = {
-      var visited = candidates.select(
-        col("edge_id"), col(rootCol).as("node"))
+    // Seeds: per root when the per-level cap binds (the reference
+    // applies np.random.choice per root's own BFS, so the sampling
+    // domains must stay separate); BOTH roots jointly when uncapped —
+    // the visited set of a multi-seed BFS equals the union of the
+    // per-seed visited sets, and one frontier loop costs half the
+    // fixed per-level jobs of two.
+    def gather(rootCols: Seq[String]): DataFrame = {
+      var visited = rootCols.map(rc =>
+          candidates.select(col("edge_id"), col(rc).as("node")))
+        .reduce(_ unionAll _).distinct()
         .localCheckpoint(true)
       var frontier = visited
       var level = 0
@@ -165,12 +188,17 @@ object Subgraphs {
             .drop("__rn")
         }
         frontier = next.localCheckpoint(true)
-        visited = visited.unionAll(frontier).localCheckpoint(true)
+        // visited needs no checkpoint of its own: it is a union of
+        // already-checkpointed frames, so the anti-join re-reads cached
+        // blocks instead of paying one more eager job per level
+        visited = visited.unionAll(frontier)
       }
       visited
     }
 
-    val u = gather("head").unionAll(gather("tail")).distinct()
+    val u =
+      if (maxNodesPerHop.isEmpty) gather(Seq("head", "tail"))
+      else gather(Seq("head")).unionAll(gather(Seq("tail"))).distinct()
 
     // induced edges per candidate + per-candidate marker row (the
     // community path's shape; src_deg is unused without the sweep)
@@ -328,7 +356,8 @@ object Subgraphs {
           .drop("__rn")
       }
       frontier = next.localCheckpoint(true)
-      visited = visited.unionAll(frontier).localCheckpoint(true)
+      // union of checkpointed frames - no extra eager job (see above)
+      visited = visited.unionAll(frontier)
     }
 
     // full-graph degree per node + total volume (symmetric edge list:

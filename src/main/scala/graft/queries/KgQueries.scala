@@ -777,6 +777,84 @@ object KgQueries {
              |FROM comm c JOIN dh ON dh.node = c.k JOIN dt ON dt.node = c.k
              |WHERE c.k NOT IN (0, 1) AND greatest(dh.d_head, dt.d_tail) <= 2""".stripMargin)),
 
+    QueryDef("q87_subgraph_modes",
+      // enclosing AND union subgraph extraction (graph_sampler.py:
+      // 300-362, both branches of enclosing_sub_graph) as one oracled
+      // query: candidates = (customer c, region of c's nation) for
+      // c_custkey <= 2 on the numeric customer-nation-region graph
+      // (disjoint id residues mod 8 keep node spaces apart in both
+      // engines). Expected per candidate: the nation (1,1) plus every
+      // same-nation customer (2,2) — other nations/regions prune on the
+      // root-removed distances. Both modes are emitted with a mode
+      // column; UNCAPPED the two provably coincide (Subgraphs scaladoc
+      // theorem), so the oracle computes ONE root-removed BFS and
+      // cross-joins both labels — the driver gate hash-checks the
+      // theorem itself on real data.
+      (s, d) => {
+        val cust = table(s, d, "customer")
+        val nat = table(s, d, "nation")
+        val cn = cust.select(
+          (col("c_custkey").cast("long") * 8 + 1).as("src"),
+          (col("c_nationkey").cast("long") * 8 + 2).as("dst"))
+        val nr = nat.select(
+          (col("n_nationkey").cast("long") * 8 + 2).as("src"),
+          (col("n_regionkey").cast("long") * 8 + 3).as("dst"))
+        val edges = graft.graph.Bfs.undirected(cn.unionAll(nr))
+        val cands = cust.join(nat, col("c_nationkey") === col("n_nationkey"))
+          .filter(col("c_custkey") <= 2)
+          .select(
+            concat(lit("e"), col("c_custkey").cast("string")).as("edge_id"),
+            (col("c_custkey").cast("long") * 8 + 1).as("head"),
+            (col("n_regionkey").cast("long") * 8 + 3).as("tail"))
+        val enc = graft.graph.Subgraphs.encloseAndLabel(edges, cands, 2)
+          .withColumn("mode", lit("enclosing"))
+        val uni = graft.graph.Subgraphs
+          .encloseAndLabel(edges, cands, 2, None, "union")
+          .withColumn("mode", lit("union"))
+        enc.unionByName(uni)
+      },
+      Some("""WITH RECURSIVE
+             |und AS (
+             |  SELECT c_custkey*8+1 AS a, c_nationkey*8+2 AS b FROM customer
+             |  UNION ALL SELECT c_nationkey*8+2, c_custkey*8+1 FROM customer
+             |  UNION ALL SELECT n_nationkey*8+2, n_regionkey*8+3 FROM nation
+             |  UNION ALL SELECT n_regionkey*8+3, n_nationkey*8+2 FROM nation),
+             |cand AS (
+             |  SELECT 'e' || CAST(c_custkey AS VARCHAR) AS edge_id,
+             |         CAST(c_custkey*8+1 AS BIGINT) AS head,
+             |         CAST(n_regionkey*8+3 AS BIGINT) AS tail
+             |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |  WHERE c_custkey <= 2),
+             |rh(edge_id, node, d) AS (
+             |  SELECT edge_id, head, 0 FROM cand
+             |  UNION
+             |  SELECT r.edge_id, CAST(u.b AS BIGINT), r.d + 1
+             |  FROM rh r JOIN und u ON u.a = r.node
+             |            JOIN cand c ON c.edge_id = r.edge_id
+             |  WHERE r.d < 2 AND u.b <> c.tail),
+             |rt(edge_id, node, d) AS (
+             |  SELECT edge_id, tail, 0 FROM cand
+             |  UNION
+             |  SELECT r.edge_id, CAST(u.b AS BIGINT), r.d + 1
+             |  FROM rt r JOIN und u ON u.a = r.node
+             |            JOIN cand c ON c.edge_id = r.edge_id
+             |  WHERE r.d < 2 AND u.b <> c.head),
+             |dh AS (SELECT edge_id, node, min(d) AS d_head FROM rh GROUP BY 1, 2),
+             |dt AS (SELECT edge_id, node, min(d) AS d_tail FROM rt GROUP BY 1, 2),
+             |lbl AS (
+             |  SELECT edge_id, head AS node, 0 AS d_head, 1 AS d_tail FROM cand
+             |  UNION ALL
+             |  SELECT edge_id, tail, 1, 0 FROM cand
+             |  UNION ALL
+             |  SELECT dh.edge_id, dh.node, dh.d_head, dt.d_tail
+             |  FROM dh JOIN dt ON dh.edge_id = dt.edge_id AND dh.node = dt.node
+             |       JOIN cand c ON c.edge_id = dh.edge_id
+             |  WHERE dh.node <> c.head AND dh.node <> c.tail
+             |    AND greatest(dh.d_head, dt.d_tail) <= 2)
+             |SELECT edge_id, node, CAST(d_head AS INTEGER) AS d_head,
+             |       CAST(d_tail AS INTEGER) AS d_tail, m.mode
+             |FROM lbl CROSS JOIN (VALUES ('enclosing'), ('union')) m(mode)""".stripMargin)),
+
     QueryDef("q63_target_component",
       // largest component by target-subject count (extract.py:117-131):
       // CC -> per-component target count -> argmax (tie: min component)
