@@ -199,6 +199,19 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q86 blend fit: weights return via broadcast NL join, stats aggregate once") {
+    val plan = planOf(SparkEntry.queries("q86_blend_fit")(spark, sf))
+    // the 1-row weight frame must come back as a broadcast, never a
+    // shuffled join of the corpus against itself
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), s"weights crossJoin degraded:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"fit shuffled the corpus:\n$plan")
+    // sufficient statistics: partial HashAggregate below the exchange
+    // (integer sums are map-side combinable by construction)
+    val firstExchange = plan.indexOf("Exchange")
+    assert(plan.indexOf("HashAggregate") >= 0 && firstExchange > 0, plan)
+  }
+
   test("prune evidence aggregation is two-phase (partial before shuffle)") {
     import spark.implicits._
     val linked = Seq(("s", "p", "o", "u", 0.9)).toDF("subject", "predicate", "object", "url", "link_conf")
