@@ -15,17 +15,22 @@ mkdir -p "$OUT"
 # created here but written to under the repo root
 OUT=$(cd "$OUT" && pwd)
 cd "$(dirname "$0")/.."
+seg=0
 for lvl in $LEVELS; do
   c=${lvl%%:*}; reps=${lvl##*:}
+  # segment index in the filename: a LEVELS list that repeats a core
+  # count (e.g. interleaved "16:1 4:1 16:1 ...") must not clobber the
+  # earlier segment's rep files
+  seg=$((seg + 1))
   for r in $(seq 1 "$reps"); do
     # route the whole-file record into the session dir — never the
     # committed BENCH/last_bench.json
     SPARK_GRAFT_SKIP_QUERIES=1 SPARK_GRAFT_KG_SCALE=$SCALE \
       SPARK_GRAFT_CPUS=$c \
-      SPARK_GRAFT_BENCH_OUT="$OUT/c${c}_r${r}_full.json" \
+      SPARK_GRAFT_BENCH_OUT="$OUT/c${c}_s${seg}_r${r}_full.json" \
       tools/run_class.sh -mem 16g -opts "-XX:+UseParallelGC -Xmn8g" graft.Bench 2>/dev/null |
-      grep -E '^\{' > "$OUT/c${c}_r${r}.json"
-    python3 - "$OUT/c${c}_r${r}.json" <<'EOF'
+      grep -E '^\{' > "$OUT/c${c}_s${seg}_r${r}.json"
+    python3 - "$OUT/c${c}_s${seg}_r${r}.json" <<'EOF'
 import json, sys
 d = json.load(open(sys.argv[1]))
 k = d["kg"]
