@@ -187,9 +187,14 @@ object Bench {
         s""""kept_triples":$kept,"wall_sec":$kgWall,"triples_per_sec":$tps,"cpus":$cpus,""" +
         s""""stages":$stagesJson}"""
 
+    // session-wide featurize codec-fallback total (q78/q83-85 and the
+    // pipeline all ran above): nonzero on the fixture = codec regression
+    val stubFallbackRows = graft.multimodal.Multimodal
+      .stubFallbackCounter(spark.sparkContext).value
     val json =
       s"""{"metric":"total","value":${total + kgWall},"unit":"sec","queries":$qs,""" +
-        s""""failed":$failedJson,"sf":"$sfDir","kg":$kgJson}"""
+        s""""failed":$failedJson,"stub_fallback_rows":$stubFallbackRows,""" +
+        s""""sf":"$sfDir","kg":$kgJson}"""
     println(json)
     // Persist the whole record too: the harness captures only a stdout
     // tail (BENCH_r03.json "parsed": null). The DEFAULT whole-file path

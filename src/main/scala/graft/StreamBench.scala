@@ -26,6 +26,20 @@ import graft.streaming.StreamOps
   * deterministic 2M-event feed instead of the KG front half.
   */
 object StreamBench {
+
+  /** JSON string-escape for values interpolated into the hand-built
+    * record: a conf value carrying a quote/backslash (or a control
+    * char) would otherwise emit a malformed jsonl row that silently
+    * breaks downstream bench-history parsing.
+    */
+  private[graft] def jsonEscape(s: String): String =
+    s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val kgScale = sys.env.getOrElse("SPARK_GRAFT_KG_SCALE", "small")
@@ -139,11 +153,14 @@ object StreamBench {
       .flatMap(_.stateOperators.headOption).map(_.memoryUsedBytes).getOrElse(0L)
     val json =
       s"""{"metric":"stream_kg","scale":"$kgScale","cpus":$cpus,""" +
-        s""""state_provider":"$stateProvider","state_conf":"$stateConf",""" +
+        s""""state_provider":"$stateProvider","state_conf":"${jsonEscape(stateConf)}",""" +
         s""""pages":$nPages,"linked_rows":$linkedRows,"wall_sec":$wall,""" +
         s""""pages_per_sec":${nPages / wall},"n_triggers":${triggers.size},""" +
         s""""files_per_trigger":$filesPerTrigger,"state_rows":$stateRowsFinal,""" +
-        s""""state_bytes":$stateBytesFinal,"triggers":$perTrigger}"""
+        s""""state_bytes":$stateBytesFinal,""" +
+        s""""stub_fallback_rows":${graft.multimodal.Multimodal
+          .stubFallbackCounter(spark.sparkContext).value},""" +
+        s""""triggers":$perTrigger}"""
     println(json)
     try {
       val p = java.nio.file.Paths.get("/root/repo/BENCH/stream_bench.jsonl")
@@ -276,7 +293,7 @@ object StreamBench {
     val lastState = triggers.lastOption.flatMap(_.stateOperators.headOption)
     val json =
       s"""{"metric":"stream_sessions","cpus":$cpus,""" +
-        s""""state_provider":"$stateProvider","state_conf":"$stateConf",""" +
+        s""""state_provider":"$stateProvider","state_conf":"${jsonEscape(stateConf)}",""" +
         s""""events":$nEvents,""" +
         s""""users":$users,"sessions_out":$sessionsOut,"wall_sec":$wall,""" +
         s""""events_per_sec":${nEvents / wall},"n_triggers":${triggers.size},""" +

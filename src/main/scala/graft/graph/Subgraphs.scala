@@ -59,9 +59,22 @@ object Subgraphs {
       candidates: DataFrame,
       h: Int,
       maxNodesPerHop: Option[Int] = None,
-      mode: String = "enclosing"): DataFrame = {
+      mode: String = "enclosing",
+      driverThreshold: Long = 1 << 16): DataFrame = {
     require(mode == "enclosing" || mode == "union",
       s"encloseAndLabel mode must be enclosing|union, got '$mode'")
+    // Small inputs short-circuit to a driver loop with the SAME BFS /
+    // cap / label semantics (the encloseAndLabelCommunity discipline:
+    // the distributed scaffolding is h levels x ~3 fixed jobs per mode,
+    // pure overhead at dictionary-sized graphs; driverThreshold=0
+    // forces the distributed path — tests assert both paths emit
+    // identical rows). Engages only for the long-id + string-edge_id
+    // shape the local body computes on; other schemas keep the fully
+    // type-generic distributed path.
+    if (driverThreshold > 0 && localShape(edges, candidates) &&
+        edges.limit(driverThreshold.toInt).count() < driverThreshold &&
+        candidates.limit(driverThreshold.toInt).count() < driverThreshold)
+      return encloseLocal(edges, candidates, h, maxNodesPerHop, mode)
     if (mode == "union")
       return unionExtract(edges, candidates, h, maxNodesPerHop)
 
@@ -136,6 +149,129 @@ object Subgraphs {
       .filter(greatest(col("d_head"), col("d_tail")) <= h)
 
     roots.unionAll(nonRoots)
+  }
+
+  /** The driver fast path engages only when the local beam body's id
+    * contract holds exactly: BIGINT node ids everywhere and a string
+    * edge_id (no cast round-trips — "0123"-style string ids would
+    * silently canonicalize, so anything else stays distributed).
+    */
+  private def localShape(edges: DataFrame, candidates: DataFrame): Boolean = {
+    import org.apache.spark.sql.types.{LongType, StringType}
+    candidates.schema("edge_id").dataType == StringType &&
+      Seq(candidates.schema("head"), candidates.schema("tail"),
+        edges.schema("src"), edges.schema("dst"))
+        .forall(_.dataType == LongType)
+  }
+
+  /** Driver fast path for [[encloseAndLabel]], both modes: collect the
+    * (sub-64k) edge list once, then run the per-candidate walks
+    * in-process. Every semantic knob mirrors the distributed twin
+    * verbatim — root-removed per-side BFS + per-(edge_id, side) md5
+    * cap for enclosing; unremoved gather (joint seeds uncapped,
+    * per-root seeds when the cap binds) + the shared
+    * [[communityLabelBeam]] body with community off for union — so
+    * both paths emit identical rows (GraphSpec parity, threshold
+    * forced to 0 for the distributed side).
+    */
+  private def encloseLocal(
+      edges: DataFrame,
+      candidates: DataFrame,
+      h: Int,
+      maxNodesPerHop: Option[Int],
+      mode: String): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    // null endpoints dropped explicitly — the distributed path drops
+    // them via join misses, and Row.getLong would NPE
+    val e = edges.select(col("src"), col("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adjAll: Map[Long, Array[Long]] = e.groupBy(_._1)
+      .map { case (k, v) => k -> v.map(_._2) }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5hex(n: Long): String = {
+      md.reset()
+      md.digest(n.toString.getBytes("UTF-8"))
+        .map(b => f"${b & 0xff}%02x").mkString
+    }
+    val cands = candidates.select(col("edge_id"), col("head"), col("tail"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+
+    val out: Seq[LabeledNode] =
+      if (mode == "enclosing") cands.iterator.flatMap { case (eid, head, tail) =>
+        // per-side root-removed BFS, per-level md5 cap per side —
+        // bfsBoth()'s (edge_id, side)-keyed frontier, localized
+        def walk(root: Long, other: Long): Map[Long, Int] = {
+          val d = scala.collection.mutable.Map(root -> 0)
+          var frontier = Set(root)
+          var level = 0
+          while (level < h && frontier.nonEmpty) {
+            level += 1
+            var next = frontier
+              .flatMap(n => adjAll.getOrElse(n, Array.empty[Long]))
+              .filter(n => n != other && !d.contains(n))
+            maxNodesPerHop.foreach { cap =>
+              next = next.toSeq.sortBy(md5hex).take(cap).toSet
+            }
+            next.foreach(n => d(n) = level)
+            frontier = next
+          }
+          d.toMap
+        }
+        val dh = walk(head, tail)
+        val dt = walk(tail, head)
+        Iterator(LabeledNode(eid, head, 0, 1), LabeledNode(eid, tail, 1, 0)) ++
+          dh.iterator.flatMap { case (n, a) =>
+            dt.get(n) match {
+              // intersection of the two root-removed reaches, roots
+              // excluded, max(d) <= h prune — the distributed
+              // roots/nonRoots assembly exactly
+              case Some(b) if n != head && n != tail && math.max(a, b) <= h =>
+                Iterator(LabeledNode(eid, n, a, b))
+              case _ => Iterator.empty
+            }
+          }
+      }.toSeq
+      else cands.iterator.flatMap { case (eid, head, tail) =>
+        // union gather: NO root removal; joint seeds when uncapped
+        // (visited set of a multi-seed BFS == union of per-seed sets),
+        // per-root seeds + per-root cap when the cap binds — exactly
+        // unionExtract's gather() dispatch
+        def gatherLocal(seeds: Seq[Long]): Set[Long] = {
+          var visited = seeds.toSet
+          var frontier = visited
+          var level = 0
+          while (level < h && frontier.nonEmpty) {
+            level += 1
+            var next = frontier
+              .flatMap(n => adjAll.getOrElse(n, Array.empty[Long]))
+              .diff(visited)
+            maxNodesPerHop.foreach { cap =>
+              next = next.toSeq.sortBy(md5hex).take(cap).toSet
+            }
+            frontier = next
+            visited ++= next
+          }
+          visited
+        }
+        val u =
+          if (maxNodesPerHop.isEmpty) gatherLocal(Seq(head, tail))
+          else gatherLocal(Seq(head)) ++ gatherLocal(Seq(tail))
+        // marker row first (as the distributed unionAll guarantees),
+        // then the induced edges enumerated off the visited set's
+        // adjacency lists; src_deg = 0 mirrors unionExtract's lit(0L)
+        // (the beam ignores degrees with community off)
+        val induced = Iterator((head, head, 0)) ++
+          u.iterator.flatMap { a =>
+            adjAll.getOrElse(a, Array.empty[Long]).iterator
+              .filter(u)
+              .map(b => (a, b, 0))
+          }
+        communityLabelBeam(eid, head, tail, induced, 0.0, h,
+          community = false)
+      }.toSeq
+    spark.createDataset(out).toDF()
   }
 
   /** Union-mode extraction (graph_sampler.py:331 `else` branch):

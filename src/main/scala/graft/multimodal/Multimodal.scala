@@ -329,16 +329,20 @@ object Multimodal {
   private def gifFrameSumsDims(payload: Array[Byte],
       blocks: Int): Seq[(Int, Int, Int, Array[Long])] = {
     val rd = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+    // MemoryCacheImageInputStream directly: the source is already an
+    // in-memory byte array, and ImageIO.createImageInputStream's default
+    // useCache=true variant would hold a temp file + fd until GC
+    val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+      new java.io.ByteArrayInputStream(payload))
     try {
-      rd.setInput(javax.imageio.ImageIO.createImageInputStream(
-        new java.io.ByteArrayInputStream(payload)))
+      rd.setInput(iis)
       val n = rd.getNumImages(true)
       require(n > 0, s"undecodable gif payload (${payload.length} bytes)")
       (0 until n).map { f =>
         val img = rd.read(f)
         (f, img.getWidth, img.getHeight, poolSums(img, blocks))
       }
-    } finally rd.dispose()
+    } finally { rd.dispose(); iis.close() }
   }
 
   /** Real video features on the [[MediaFeatures]] contract: per-frame
@@ -354,6 +358,22 @@ object Multimodal {
     }
     acc.map(v => (v / frames.size / 255f) - 0.5f)
   }
+
+  // one counter per live SparkContext (this JVM only ever holds one;
+  // the map exists so tests that restart the session don't read a
+  // dead context's accumulator)
+  private val fallbackCounters = new java.util.concurrent.ConcurrentHashMap[
+    org.apache.spark.SparkContext, org.apache.spark.util.LongAccumulator]()
+
+  /** The session-wide default codec-fallback accumulator [[featurize]]
+    * increments when no explicit counter is passed. Bench reads it
+    * after the query suite and records `stub_fallback_rows` (expected
+    * 0 on the fixtures — a nonzero value is a codec regression signal).
+    */
+  def stubFallbackCounter(sc: org.apache.spark.SparkContext)
+      : org.apache.spark.util.LongAccumulator =
+    fallbackCounters.computeIfAbsent(sc,
+      s => s.longAccumulator("graft.multimodal.featurize.stubFallbacks"))
 
   /** Batched featurization: fixed-size batches through each partition
     * iterator (the mapInPandas batch shape), repartitioned by media_id
@@ -371,14 +391,15 @@ object Multimodal {
     import media.sparkSession.implicits._
     // exception-path fallbacks are COUNTED: a systematic codec
     // regression in this bulk path would otherwise degrade every row to
-    // stub features silently. The named accumulator surfaces in the
-    // Spark UI even when the caller doesn't pass its own; counts are
-    // at-least-once under task retry/speculation (observability, not an
-    // exact metric). Declared stub dispatch (kind/magic-byte mismatch)
-    // is NOT counted — that path is the documented contract, not decay.
+    // stub features silently. The default is the SESSION-WIDE
+    // [[stubFallbackCounter]] so recorded artifacts (Bench JSON) can
+    // read the total without threading an accumulator through every
+    // query; counts are at-least-once under task retry/speculation
+    // (observability, not an exact metric). Declared stub dispatch
+    // (kind/magic-byte mismatch) is NOT counted — that path is the
+    // documented contract, not decay.
     val stubFallbacks = fallbackCounter.getOrElse(
-      media.sparkSession.sparkContext
-        .longAccumulator("graft.multimodal.featurize.stubFallbacks"))
+      stubFallbackCounter(media.sparkSession.sparkContext))
     media
       .repartition(partitions, col("media_id"))
       .mapPartitions { it =>
@@ -436,34 +457,44 @@ object Multimodal {
       val rows = it.flatMap { m =>
         if (m.kind == "video" && isGif(m.payload)) {
           val rd = gifReader
-          rd.setInput(javax.imageio.ImageIO.createImageInputStream(
-            new java.io.ByteArrayInputStream(m.payload)))
-          val n = math.min(nFrames, rd.getNumImages(true))
-          (0 until n).map { f =>
-            // re-encode via TYPE_INT_RGB: the PNG writer round-trips it
-            // losslessly (q83-proven), whereas handing it the decoded
-            // indexed frame directly shifts pixels (measured: the JDK
-            // PNG writer mangles IndexColorModel images)
-            val idx = rd.read(f)
-            val rgb = new java.awt.image.BufferedImage(
-              idx.getWidth, idx.getHeight,
-              java.awt.image.BufferedImage.TYPE_INT_RGB)
-            var y = 0
-            while (y < idx.getHeight) {
-              var x = 0
-              while (x < idx.getWidth) {
-                rgb.setRGB(x, y, idx.getRGB(x, y)); x += 1
+          // per-row stream closed in finally (the Range.map below is
+          // eager, so all frames are read before the close). A direct
+          // MemoryCacheImageInputStream — the payload is already an
+          // in-memory array; ImageIO.createImageInputStream's default
+          // file-cache variant would hold a temp file + fd until GC,
+          // and the partition-level dispose alone wouldn't release
+          // per-row streams when a row throws mid-partition.
+          val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+            new java.io.ByteArrayInputStream(m.payload))
+          try {
+            rd.setInput(iis)
+            val n = math.min(nFrames, rd.getNumImages(true))
+            (0 until n).map { f =>
+              // re-encode via TYPE_INT_RGB: the PNG writer round-trips it
+              // losslessly (q83-proven), whereas handing it the decoded
+              // indexed frame directly shifts pixels (measured: the JDK
+              // PNG writer mangles IndexColorModel images)
+              val idx = rd.read(f)
+              val rgb = new java.awt.image.BufferedImage(
+                idx.getWidth, idx.getHeight,
+                java.awt.image.BufferedImage.TYPE_INT_RGB)
+              var y = 0
+              while (y < idx.getHeight) {
+                var x = 0
+                while (x < idx.getWidth) {
+                  rgb.setRGB(x, y, idx.getRGB(x, y)); x += 1
+                }
+                y += 1
               }
-              y += 1
+              val bos = new java.io.ByteArrayOutputStream()
+              val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+              try {
+                pngWriter.setOutput(ios)
+                pngWriter.write(rgb)
+              } finally ios.close()
+              (m.media_id, f, bos.toByteArray)
             }
-            val bos = new java.io.ByteArrayOutputStream()
-            val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
-            try {
-              pngWriter.setOutput(ios)
-              pngWriter.write(rgb)
-            } finally ios.close()
-            (m.media_id, f, bos.toByteArray)
-          }
+          } finally iis.close()
         } else {
           val stride = math.max(1, m.payload.length / math.max(nFrames, 1))
           (0 until math.min(nFrames, m.payload.length)).map { f =>

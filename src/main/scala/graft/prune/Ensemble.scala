@@ -51,7 +51,15 @@ object Ensemble {
       sum(col("b") * col("b")).as("sbb"),
       sum(col("a") * col("y")).as("say"),
       sum(col("b") * col("y")).as("sby"))
-    val det = (col("saa") * col("sbb") - col("sab") * col("sab")).cast("double")
+    val rawDet = (col("saa") * col("sbb") - col("sab") * col("sab")).cast("double")
+    // det=0 (constant or collinear a/b, or empty input) must be a LOUD
+    // error, not engine-dependent null/NaN weights: Spark's double
+    // division by zero and DuckDB's disagree by version, so degenerate
+    // input would otherwise surface as a silent oracle divergence. The
+    // raise stays inside the fused plan (no extra pre-check action).
+    val det = when(rawDet =!= lit(0.0), rawDet).otherwise(raise_error(lit(
+      "fitBlend: singular normal equations (det = 0 - constant or " +
+        "collinear feature columns, or empty input)")).cast("double"))
     val w = stats.select(
       ((lit(d1.toLong) * (col("say") * col("sbb") - col("sby") * col("sab")))
         .cast("double") / det).as("w1"),
@@ -66,10 +74,20 @@ object Ensemble {
         round(col("w1") * s1d + col("w2") * s2d, 6).as("score"))
   }
 
-  /** blend + the reference's alignment assert. */
+  /** blend + the reference's alignment assert. The three row counts
+    * (a, b, blended) come from ONE tagged-union aggregation — a single
+    * action instead of three count() jobs each re-reading the inputs.
+    */
   def blendChecked(a: DataFrame, b: DataFrame, w1: Double, w2: Double, bias: Double): DataFrame = {
     val out = blend(a, b, w1, w2, bias)
-    val (na, nb, no) = (a.count(), b.count(), out.count())
+    val cnts = a.select(lit("a").as("__blend_side"))
+      .unionAll(b.select(lit("b").as("__blend_side")))
+      .unionAll(out.select(lit("o").as("__blend_side")))
+      .groupBy(col("__blend_side")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val na = cnts.getOrElse("a", 0L)
+    val nb = cnts.getOrElse("b", 0L)
+    val no = cnts.getOrElse("o", 0L)
     if (na != nb || nb != no)
       throw new IllegalStateException(
         s"ensemble inputs misaligned: a=$na b=$nb blended=$no")

@@ -149,6 +149,18 @@ object Ann {
 
   def ivfIndex(emb: DataFrame, c: Int,
       iters: Int = 2): (Array[Array[Double]], DataFrame) = {
+    val (centroids, index, _) = ivfIndexWithSource(emb, c, iters)
+    (centroids, index)
+  }
+
+  /** [[ivfIndex]] + the final centroid matrix's transport source, so
+    * callers that also rank AGAINST the final matrix (ivfTopK's query
+    * probes) reuse ONE broadcast instead of shipping a second copy of
+    * the same matrix.
+    */
+  private[graft] def ivfIndexWithSource(emb: DataFrame, c: Int,
+      iters: Int = 2)
+      : (Array[Array[Double]], DataFrame, graft.functions.CentroidSource) = {
     var centroids: Array[Array[Double]] = emb
       .orderBy(Ids.saltCol(Int.MaxValue, col("id")), col("id"))
       .limit(c)
@@ -160,22 +172,45 @@ object Ann {
       s"ivfIndex: mixed vector dimensionality in seed sample (expected $dim)")
     var it = 0
     while (it < iters) {
+      val src = centroidSource(emb, centroids)
       val cid = element_at(
-        graft.functions.VectorOps.centroidRanks(col("v"),
-          centroidSource(emb, centroids)), 1)
+        graft.functions.VectorOps.centroidRanks(col("v"), src), 1)
       val means = emb.withColumn("cid", cid)
         .groupBy(col("cid"))
         .agg(array((0 until dim).map(d => avg(col("v")(d))): _*).as("cv"))
         .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).toMap
+      // the collect above completed the only job that reads this
+      // iteration's matrix — destroy a broadcast transport now instead
+      // of letting one stale multi-MB block per Lloyd round pile up on
+      // the driver and executors until GC-driven cleanup
+      src match {
+        case graft.functions.BroadcastCentroids(bc) => bc.destroy()
+        case _ => ()
+      }
       centroids = centroids.indices
         .map(i => means.getOrElse(i, centroids(i))).toArray
       it += 1
     }
+    val src = centroidSource(emb, centroids)
     val cid = element_at(
-      graft.functions.VectorOps.centroidRanks(col("v"),
-        centroidSource(emb, centroids)), 1)
-    (centroids, emb.select(col("id"), col("v"), cid.as("cid")))
+      graft.functions.VectorOps.centroidRanks(col("v"), src), 1)
+    (centroids, emb.select(col("id"), col("v"), cid.as("cid")), src)
   }
+
+  /** Sentinel for [[ivfTopK]]'s `c`: derive the centroid count from the
+    * corpus size instead of taking a literal.
+    */
+  val AutoC: Int = 0
+
+  /** c ~ sqrt(N) — the classic IVF list-count rule (FAISS guideline:
+    * sqrt-N cells balances per-query centroid-scan cost against
+    * per-list rerank cost). One count() over the corpus; the resulting
+    * matrix rides the existing size-gated broadcast transport, so
+    * auto-derived large c (10^9 vectors -> c ~ 31.6k -> a 4 MB matrix
+    * at dim 16) ships once per executor, never per task.
+    */
+  def autoC(emb: DataFrame): Int =
+    math.max(1, math.round(math.sqrt(emb.count().toDouble)).toInt)
 
   /** IVF top-k: each query probes its `nprobe` max-cosine centroids and
     * exact-reranks only those inverted lists. The candidate join is a
@@ -191,15 +226,19 @@ object Ann {
       // fraction (nprobe/c = 0.25), c=32 measures 0.83 vs c=16's 0.67
       // — finer quantization beats coarser at equal probe cost (c=64
       // over-fragments the 1k-vector fixture). Production c scales
-      // ~sqrt(corpus); these defaults fit the driver-table sizes.
+      // ~sqrt(corpus): pass [[AutoC]] to derive it from a corpus
+      // count. These literal defaults fit the driver-table sizes.
       c: Int = 32,
       nprobe: Int = 8,
       iters: Int = 2): DataFrame = {
-    val (centroids, index) = ivfIndex(emb, c, iters)
+    require(c >= 0, s"ivfTopK: c must be >= 0 (0 = auto), got $c")
+    val cEff = if (c == AutoC) autoC(emb) else c
+    val (_, index, src) = ivfIndexWithSource(emb, cEff, iters)
+    // probes rank against the SAME final matrix as the index assignment
+    // — reuse its transport (one broadcast total, not one per use site)
     val probes = queries.select(col("qid"), col("qv"),
       explode(slice(
-        graft.functions.VectorOps.centroidRanks(col("qv"),
-          centroidSource(queries, centroids)),
+        graft.functions.VectorOps.centroidRanks(col("qv"), src),
         1, nprobe)).as("cid"))
     probes.join(index, Seq("cid"))
       .filter(col("qid") =!= col("id"))

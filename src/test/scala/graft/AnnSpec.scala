@@ -125,6 +125,36 @@ class AnnSpec extends AnyFunSuite {
     assert(Ann.centroidSource(emb, m).isInstanceOf[BroadcastCentroids])
   }
 
+  test("auto-c: c ~ sqrt(N) derived from the corpus, recall floor holds") {
+    // 4096-vector deterministic corpus, 64 natural clusters of 64
+    // (cluster base direction + small mix64 jitter, dim 8): autoC =
+    // round(sqrt(4096)) = 64 — a bigger index than any literal driver
+    // default, derived, not passed
+    val dim = 8
+    val big = (0L until 4096L).map { i =>
+      val k = i % 64
+      (i, (0 until dim).map { d =>
+        graft.core.Ids.mix64(k * 31L + d).toDouble / Long.MaxValue +
+          0.05 * graft.core.Ids.mix64(i * 131L + d).toDouble / Long.MaxValue
+      })
+    }.toDF("id", "v")
+    assert(Ann.autoC(big) == 64)
+    val qs = big.filter(col("id") < 10)
+      .select(col("id").as("qid"), col("v").as("qv"))
+    val auto = Ann.ivfTopK(big, qs, 3, c = Ann.AutoC, nprobe = 16)
+    val a = auto.collect()
+    val brute = Ann.bruteTopK(big, qs, 3).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nn_id"))).toSet
+    val got = a.map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nn_id"))).toSet
+    val recall = (brute intersect got).size.toDouble / brute.size
+    info(f"auto-c IVF recall@3 = $recall%.2f at c=64/nprobe=16")
+    // same scanned-list fraction as the driver default (nprobe/c = 0.25)
+    assert(recall >= 0.6, f"auto-c recall collapsed: $recall%.2f")
+    // determinism across re-runs (fresh k-means + broadcasts each time)
+    val b = Ann.ivfTopK(big, qs, 3, c = Ann.AutoC, nprobe = 16).collect()
+    assert(a.map(_.toString).sorted.toSeq == b.map(_.toString).sorted.toSeq)
+  }
+
   test("brute-force agrees with the q42 driver query on overlap") {
     val q42 = SparkEntry.queries("q42_cosine_topk")(spark, sf)
       .filter(col("qid") < 10)

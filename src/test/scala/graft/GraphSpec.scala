@@ -212,4 +212,22 @@ class GraphSpec extends AnyFunSuite {
     assert(Set(10L, 11L, 12L, 13L).subsetOf(cut))
     assert(!cut.contains(5L))
   }
+
+  test("encloseAndLabel driver fast path == distributed path (modes x caps)") {
+    // two candidates (one diamond, one bridge-spanning), both modes,
+    // capped and uncapped: the sub-64k fast path must emit exactly the
+    // distributed rows (driverThreshold = 0 forces distributed — the
+    // encloseAndLabelCommunity test discipline)
+    val cands = Seq(("e1", 10L, 13L), ("e2", 3L, 10L))
+      .toDF("edge_id", "head", "tail")
+    for (mode <- Seq("enclosing", "union"); cap <- Seq(None, Some(2))) {
+      val fast = Subgraphs.encloseAndLabel(edges, cands, 2, cap, mode)
+        .collect().map(_.toString).sorted.toSeq
+      val dist = Subgraphs
+        .encloseAndLabel(edges, cands, 2, cap, mode, driverThreshold = 0)
+        .collect().map(_.toString).sorted.toSeq
+      assert(fast == dist, s"mode=$mode cap=$cap")
+      assert(fast.nonEmpty)
+    }
+  }
 }

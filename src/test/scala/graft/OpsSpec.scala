@@ -261,6 +261,15 @@ class OpsSpec extends AnyFunSuite {
       "not a png".getBytes("UTF-8"), 0, 0)).toDS()
     Multimodal.featurize(declared, 2, Some(fallbacks)).collect()
     assert(fallbacks.value == 1L)
+    // counter-less calls land on the SESSION-WIDE default counter —
+    // the one Bench reads into stub_fallback_rows
+    val session = Multimodal.stubFallbackCounter(spark.sparkContext)
+    val before = session.value
+    Multimodal.featurize(media, 2).collect()
+    assert(session.value == before + 1L,
+      s"default-counter wiring broken: $before -> ${session.value}")
+    assert(Multimodal.stubFallbackCounter(spark.sparkContext) eq session,
+      "counter must be one per SparkContext, not one per call")
   }
 
   test("multimodal frame sampling: n typed frames per row") {

@@ -280,6 +280,60 @@ class PruneSpec extends AnyFunSuite {
     }
   }
 
+  test("fitBlend: collinear feature columns raise loudly, not null weights") {
+    // b = 2a exactly => det = Saa*Sbb - Sab^2 = 0: Spark would emit
+    // null weights (and DuckDB version-dependently null/inf) — the
+    // guard must turn the silent parity divergence into a hard error
+    val g = (0 until 50).map { i =>
+      val a = (i * 7 + 3) % 10L
+      (s"s$i", "p", s"o$i", a, 2 * a, a)
+    }.toDF("subject", "predicate", "object", "a", "b", "y")
+    val ex = intercept[Exception] {
+      graft.prune.Ensemble.fitBlend(g, 10, 20).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("singular normal equations")),
+      s"expected the det=0 raise, got: ${messages(ex).mkString(" | ")}")
+  }
+
+  test("blendChecked: alignment assert runs as ONE action, not three counts") {
+    import java.util.concurrent.atomic.AtomicInteger
+    val spark2 = spark
+    val probed = new AtomicInteger(0)
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit =
+        // count only THIS operator's executions — the tagged-union
+        // column name is unique to blendChecked
+        if (qe.analyzed.schema.fieldNames.contains("__blend_side") ||
+            qe.analyzed.toString.contains("__blend_side"))
+          probed.incrementAndGet()
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark2.listenerManager.register(listener)
+    try {
+      val a = (0 until 100).map(i => (s"s$i", "p", s"o$i", i / 100.0))
+        .toDF("subject", "predicate", "object", "score")
+      val b = (0 until 100).map(i => (s"s$i", "p", s"o$i", 1 - i / 100.0))
+        .toDF("subject", "predicate", "object", "score")
+      val out = graft.prune.Ensemble.blendChecked(a, b, 0.5, 0.5, 0.0)
+      assert(out.count() == 100)
+      // listener delivery is async — settle, then assert exactly one
+      // tagged aggregation executed (the fused count job)
+      val deadline = System.nanoTime() + 5000000000L
+      while (probed.get() < 1 && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      Thread.sleep(300)
+      assert(probed.get() == 1,
+        s"expected 1 fused alignment action, saw ${probed.get()}")
+    } finally spark2.listenerManager.unregister(listener)
+  }
+
   test("fitBlend on a 0/1 label: weights finite, score = w1*s1 + w2*s2") {
     val g = (0 until 300).map { i =>
       val a = (i * 11 + 2) % 10L

@@ -21,6 +21,15 @@ class StreamingSpec extends AnyFunSuite {
     dir.toString
   }
 
+  test("StreamBench.jsonEscape: quote/backslash/control-safe, identity otherwise") {
+    assert(StreamBench.jsonEscape("k=v;x.y=2") == "k=v;x.y=2")
+    assert(StreamBench.jsonEscape("a\"b\\c") == "a\\\"b\\\\c")
+    assert(StreamBench.jsonEscape("a\nb\tc") == "a\\u000ab\\u0009c")
+    // the escaped value must parse back as legal JSON string content
+    val v = StreamBench.jsonEscape("he said \"x=\\1\"\n")
+    assert(!v.contains("\n") && !v.matches(""".*(?<!\\)".*"""))
+  }
+
   test("streaming windowed counts equal the batch computation") {
     val schema = spark.read.parquet(s"$sf/events.parquet").schema
     val stream = spark.readStream.schema(schema).parquet(eventsDir)
