@@ -898,6 +898,89 @@ object DataQueries {
              |SELECT id1, id2, CAST(bit_count(xor(sh1, sh2)) AS INTEGER) AS hamming
              |FROM pairs WHERE bit_count(xor(sh1, sh2)) <= 3""".stripMargin)),
 
+    QueryDef("q88_dup_aware_neardup",
+      // Exact-duplicate collapse BEFORE near-dup candidate generation —
+      // the r7 sf1 soak measured q48's pair output growing QUADRATICALLY
+      // in exact-copy multiplicity (10x data -> 100.5x pairs when every
+      // doc recurs 10x, the realistic web-crawl shape), so a 100 TB
+      // pipeline must hash-dedup first: group by md5(text) (only
+      // (doc_id, 32-hex) shuffles — text never does), keep
+      // rep = min(doc_id) + the class size, SimHash-band only the
+      // DISTINCT contents, and carry multiplicities so a rep pair
+      // stands for copies1*copies2 raw pairs WITHOUT materializing
+      // them. Byte-identical copies share a fingerprint (hamming 0,
+      // every band collides), so q48's raw pair set over the same
+      // corpus is recoverable losslessly: expand rep pairs by
+      // multiplicity and add each class's internal c*(c-1)/2 hamming-0
+      // pairs — DedupSpec proves that expansion equality on a
+      // planted-copy corpus. Output volume is linear in distinct
+      // contents: multiplicity-proof. An exact copy of every 10th doc
+      // is planted deterministically IN BOTH ENGINES (doc_id +
+      // 10,000,000 — q70/q73 convention) so the collapse is exercised
+      // at every SF.
+      (s, d) => {
+        val base = table(s, d, "documents").select(col("doc_id"), col("text"))
+        val corpus = base.unionAll(
+          base.filter(pmod(col("doc_id"), lit(10)) === 0)
+            .select((col("doc_id") + lit(10000000L)).as("doc_id"), col("text")))
+        val classes = corpus
+          .select(col("doc_id"), md5(col("text")).as("fp"))
+          .groupBy("fp")
+          .agg(min("doc_id").as("rep_id"), count(lit(1)).as("copies"))
+        // reps' text rides a doc_id equi-join of the class table back
+        // onto the corpus (no text in the groupBy shuffle above)
+        val reps = corpus.join(
+          classes.select(col("rep_id").as("doc_id")), Seq("doc_id"), "left_semi")
+        val fps = reps.select(col("doc_id"),
+          graft.functions.Md5SimHash.of(col("text")).as("sh"))
+        val copies = classes.select(col("rep_id"), col("copies"))
+        graft.functions.SimHash.bandedPairs(fps, maxHamming = 3)
+          .join(copies.select(col("rep_id").as("id1"),
+            col("copies").as("copies1")), Seq("id1"))
+          .join(copies.select(col("rep_id").as("id2"),
+            col("copies").as("copies2")), Seq("id2"))
+          .select(col("id1"), col("id2"), col("hamming"),
+            col("copies1"), col("copies2"),
+            (col("copies1") * col("copies2")).as("expanded_pairs"))
+      },
+      Some("""WITH corpus AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 10000000, text FROM documents WHERE doc_id % 10 = 0),
+             |classes AS (
+             |  SELECT md5(text) AS fp, min(doc_id) AS rep_id, count(*) AS copies
+             |  FROM corpus GROUP BY fp),
+             |reps AS (
+             |  SELECT co.doc_id, co.text
+             |  FROM corpus co JOIN classes c ON co.doc_id = c.rep_id),
+             |tok AS (
+             |  SELECT doc_id, md5(t) AS h
+             |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM reps) u),
+             |votes AS (
+             |  SELECT doc_id, b,
+             |         sum(CASE WHEN substring(h, CAST(b + 1 AS INTEGER), 1) >= '8'
+             |                  THEN 1 ELSE -1 END) AS vote
+             |  FROM tok, range(32) r(b) GROUP BY doc_id, b),
+             |fp AS (
+             |  SELECT doc_id,
+             |         CAST(sum(CASE WHEN vote > 0 THEN (1::BIGINT << CAST(b AS INTEGER))
+             |                       ELSE 0 END) AS BIGINT) AS sh
+             |  FROM votes GROUP BY doc_id),
+             |bands AS (
+             |  SELECT doc_id, sh, b AS bd, (sh >> CAST(8 * b AS INTEGER)) & 255 AS bv
+             |  FROM fp, range(4) r(b)),
+             |pairs AS (
+             |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2, a.sh AS sh1, b.sh AS sh2
+             |  FROM bands a JOIN bands b
+             |    ON a.bd = b.bd AND a.bv = b.bv AND a.doc_id < b.doc_id)
+             |SELECT id1, id2, CAST(bit_count(xor(sh1, sh2)) AS INTEGER) AS hamming,
+             |       c1.copies AS copies1, c2.copies AS copies2,
+             |       c1.copies * c2.copies AS expanded_pairs
+             |FROM pairs
+             |JOIN classes c1 ON c1.rep_id = id1
+             |JOIN classes c2 ON c2.rep_id = id2
+             |WHERE bit_count(xor(sh1, sh2)) <= 3""".stripMargin)),
+
     QueryDef("q49_ann_lsh_topk",
       // LSH-bucketed approximate top-3 neighbors (scale path for q42's
       // brute force; r5 defaults: 8 tables x 6 planes with full 1-bit

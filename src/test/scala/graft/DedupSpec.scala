@@ -100,4 +100,52 @@ class DedupSpec extends AnyFunSuite {
       .as[(Long, Long, Long, Double)].collect().toSet
     assert(strict.map(p => (p._1, p._2)) == Set((1L, 250L)))
   }
+
+  test("q88 collapse is lossless: rep pairs x multiplicities + intra-class == raw pairs") {
+    import org.apache.spark.sql.functions.{col, count, lit, md5, min}
+    // the theorem behind q88_dup_aware_neardup: byte-identical copies
+    // share a simhash (every band collides, hamming 0), so the RAW
+    // banded pair set over the full corpus equals the rep-level pair
+    // set expanded by copy multiplicities plus each class's internal
+    // c*(c-1)/2 pairs. Corpus: class A with 3 copies, its near-dup
+    // class B with 2 copies, one far singleton.
+    // 35 tokens keep the per-bit vote margins wide enough that a single
+    // token swap moves the fingerprint by hamming 1 (verified): a real
+    // near-dup, not an exact copy
+    val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa lam mu nu xi " +
+      "omicron pi rho sigma tau upsilon phi chi psi omega one two three four five " +
+      "six seven eight nine ten"
+    val b = "zebra" + a.stripPrefix("alpha") // near-dup of A
+    val far = "completely different words about catalyst shuffles joins and parquet files"
+    val docs = Seq(
+      (1L, a), (11L, a), (21L, a),
+      (2L, b), (12L, b),
+      (3L, far)).toDF("doc_id", "text")
+    def banded(d: org.apache.spark.sql.DataFrame) =
+      graft.functions.SimHash.bandedPairs(
+        d.select(col("doc_id"), graft.functions.Md5SimHash.of(col("text")).as("sh")))
+        .as[(Long, Long, Int)].collect()
+    val raw = banded(docs)
+    val classes = docs.select(col("doc_id"), md5(col("text")).as("fp"))
+      .groupBy("fp").agg(min("doc_id").as("rep"), count(lit(1)).as("copies"))
+    val repOf = docs.select(col("doc_id"), md5(col("text")).as("fp"))
+      .join(classes, "fp").select(col("doc_id"), col("rep"))
+      .as[(Long, Long)].collect().toMap
+    val copiesOf = classes.select(col("rep"), col("copies"))
+      .as[(Long, Long)].collect().toMap
+    val collapsed = banded(docs.filter(col("doc_id").isin(copiesOf.keys.toSeq: _*)))
+    // the near-dup classes must actually collide for the test to bite
+    assert(collapsed.map(p => (p._1, p._2)).toSet == Set((1L, 2L)))
+    // intra-class raw pairs are hamming 0 without exception
+    raw.foreach { case (i, j, h) => if (repOf(i) == repOf(j)) assert(h == 0) }
+    // multiset equality: raw pairs grouped by (rep(i), rep(j)) ==
+    // {rep pair -> copies1*copies2} ++ {(r, r) -> c*(c-1)/2}
+    val grouped = raw.groupBy { case (i, j, _) =>
+      val (x, y) = (repOf(i), repOf(j)); if (x < y) (x, y) else (y, x)
+    }.view.mapValues(_.length.toLong).toMap
+    val expected =
+      collapsed.map { case (i, j, _) => (i, j) -> copiesOf(i) * copiesOf(j) }.toMap ++
+        copiesOf.collect { case (r, c) if c > 1 => (r, r) -> c * (c - 1) / 2 }
+    assert(grouped == expected)
+  }
 }
