@@ -923,16 +923,25 @@ object DataQueries {
         val corpus = base.unionAll(
           base.filter(pmod(col("doc_id"), lit(10)) === 0)
             .select((col("doc_id") + lit(10000000L)).as("doc_id"), col("text")))
+        // the class table feeds THREE consumers (rep semi-join + both
+        // copies joins) and the fingerprint frame feeds bandedPairs'
+        // self-join twice: checkpoint both (q79/q80's checkpointed-tf
+        // pattern) so the corpus text is scanned once per frame, not
+        // once per consumer — at web scale the difference is ~6 full
+        // text scans vs 2. Both frames are narrow: (32-hex, id, count)
+        // and (id, 8-byte fingerprint).
         val classes = corpus
           .select(col("doc_id"), md5(col("text")).as("fp"))
           .groupBy("fp")
           .agg(min("doc_id").as("rep_id"), count(lit(1)).as("copies"))
+          .localCheckpoint(true)
         // reps' text rides a doc_id equi-join of the class table back
         // onto the corpus (no text in the groupBy shuffle above)
         val reps = corpus.join(
           classes.select(col("rep_id").as("doc_id")), Seq("doc_id"), "left_semi")
         val fps = reps.select(col("doc_id"),
           graft.functions.Md5SimHash.of(col("text")).as("sh"))
+          .localCheckpoint(true)
         val copies = classes.select(col("rep_id"), col("copies"))
         graft.functions.SimHash.bandedPairs(fps, maxHamming = 3)
           .join(copies.select(col("rep_id").as("id1"),
