@@ -729,31 +729,55 @@ object DataQueries {
       // clusters, and exactly one document per cluster survives
       // (keep = the min doc_id, the component id itself). Docs with no
       // near-dup pair (or <3 tokens, no signature) are singletons that
-      // keep themselves. Scale shape: CC runs only on the near-dup
-      // PAIR graph (tiny vs the corpus; large-star/small-star when it
-      // outgrows the driver fast path), the corpus touches it once via
-      // a left join, and cluster sizes are a keyed aggregation —
-      // near-dup clusters are small by construction, so no skew.
-      // Oracle: q40's pair SQL + the q27 recursive-CTE transitive
-      // closure + keep/size derivation.
+      // keep themselves.
+      //
+      // Scale shape (r7): the pair graph is built over DISTINCT
+      // contents only — the q88 collapse, applied here as a pure plan
+      // optimization under the UNCHANGED raw-graph oracle. Signatures
+      // are content-determined, so byte-identical copies always band
+      // into their class rep's component: CC over the rep graph +
+      // class-table attachment yields exactly the raw result (rep =
+      // class min => component min over reps == min over all members;
+      // null-signature docs never had pairs, so they stay individual
+      // singletons and are exempt from the collapse). Before this, the
+      // intermediate pair volume was quadratic in copy multiplicity —
+      // measured 305 s at sf10 (100 identical copies/doc => ~250M
+      // internal pairs) with every OUTPUT row per-doc, i.e. linear.
+      // The driver hash-compare against the raw recursive-closure SQL
+      // is the equivalence proof on real data at every SF.
       (s, d) => {
         val sig = table(s, d, "documents")
-          .select(col("doc_id"),
+          .select(col("doc_id"), md5(col("text")).as("fp"),
             graft.functions.Md5MinHash.of(col("text"), n = 3, k = 2).as("sg"))
           .filter(col("sg").isNotNull)
-          .select(col("doc_id"), element_at(col("sg"), 1).as("s0"),
+          .select(col("doc_id"), col("fp"), element_at(col("sg"), 1).as("s0"),
             element_at(col("sg"), 2).as("s1"))
-        val bands = sig.select(col("doc_id"), concat(lit("0:"), col("s0")).as("band"))
-          .unionAll(sig.select(col("doc_id"), concat(lit("1:"), col("s1")).as("band")))
+        // one row per distinct content; checkpointed — feeds the band
+        // self-join and the attachment join (s0/s1 are class-constant,
+        // min() just picks the value)
+        val cls = sig.groupBy("fp").agg(min("doc_id").as("rep_id"),
+          min("s0").as("s0"), min("s1").as("s1"))
+          .localCheckpoint(true)
+        val bands = cls.select(col("rep_id").as("doc_id"),
+          concat(lit("0:"), col("s0")).as("band"))
+          .unionAll(cls.select(col("rep_id").as("doc_id"),
+            concat(lit("1:"), col("s1")).as("band")))
         val pairs = bands.join(bands.withColumnRenamed("doc_id", "id2"), Seq("band"))
           .filter(col("doc_id") < col("id2"))
           .select(col("doc_id").as("src"), col("id2").as("dst")).distinct()
-        val cc = graft.canon.ConnectedComponents.run(pairs)
-          .select(col("id").as("doc_id"), col("component").as("cluster"))
+        val ccRep = graft.canon.ConnectedComponents.run(pairs)
+          .select(col("id").as("rep_id"), col("component"))
+        // doc -> its class rep (absent for null-signature docs), then
+        // rep -> component (absent for reps with no cross-class pair);
+        // cluster = component, else the rep (pure-exact-copy class),
+        // else the doc itself (no signature / true singleton)
+        val doc2rep = sig.select(col("doc_id"), col("fp"))
+          .join(cls.select(col("fp"), col("rep_id")), Seq("fp"))
         val all = table(s, d, "documents").select(col("doc_id"))
-          .join(cc, Seq("doc_id"), "left")
+          .join(doc2rep.select(col("doc_id"), col("rep_id")), Seq("doc_id"), "left")
+          .join(ccRep, Seq("rep_id"), "left")
           .select(col("doc_id"),
-            coalesce(col("cluster"), col("doc_id")).as("cluster"))
+            coalesce(col("component"), col("rep_id"), col("doc_id")).as("cluster"))
         val sz = all.groupBy("cluster").agg(count(lit(1)).as("n_cluster"))
         all.join(sz, Seq("cluster"))
           .select(col("doc_id"), col("cluster"),
