@@ -1061,6 +1061,60 @@ object DataQueries {
       },
       Some(annPairOracle("q69_ann_ivf_topk"))),
 
+    QueryDef("q89_dedup_ann_topk",
+      // Dedup-before-index ANN — the composition the r7 sf10 ANN rung
+      // motivates: byte-identical vector copies inflate LSH candidate
+      // sets by ~copy-multiplicity (measured: q49 grew 5.6x for 10x
+      // data and fell behind brute force at 100 copies/vector), so a
+      // duplicate-heavy corpus dedups EXACTLY (group by the raw vector,
+      // rep = min(vec_id), multiplicity carried — q39/q88's move) and
+      // indexes only distinct contents. Search cost then scales with
+      // distinct vectors, flat under replication, and each hit reports
+      // how many corpus rows it stands for. Same pair-level semi-oracle
+      // as q49/q69 (selection approximate; emitted pairs re-scored,
+      // re-ranked, and multiplicity re-derived in DuckDB).
+      (s, d) => {
+        val raw = table(s, d, "embeddings")
+        // grouping key = the raw float array (bit-exact both engines;
+        // the double cast happens after collapse)
+        val classes = raw.groupBy(col("embedding"))
+          .agg(min("vec_id").as("id"), count(lit(1)).as("n_copies"))
+          .localCheckpoint(true)
+        val emb = classes.select(col("id"),
+          transform(col("embedding"), _.cast("double")).as("v"))
+        val queries = raw.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("qid"),
+            transform(col("embedding"), _.cast("double")).as("qv"))
+        graft.similarity.Ann.ivfTopK(emb, queries, 3)
+          .join(classes.select(col("id").as("nn_id"), col("n_copies")), Seq("nn_id"))
+          .withColumn("cos", round(col("cos"), 6))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("qid").orderBy(col("cos").desc, col("nn_id"))))
+          .select(col("qid"), col("nn_id"), col("cos"), col("rn"), col("n_copies"))
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding,
+             |            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             |          FROM embeddings),
+             |cls AS (SELECT embedding, min(vec_id) AS id, count(*) AS n_copies
+             |        FROM e GROUP BY embedding),
+             |pairs AS (SELECT qid, nn_id
+             |          FROM read_parquet('__SPARK_OUT__/q89_dedup_ann_topk/*.parquet')),
+             |scored AS (SELECT p.qid, p.nn_id,
+             |  CASE WHEN list_sum(list_transform(q.v, x -> x*x)) = 0
+             |         OR list_sum(list_transform(c.v, x -> x*x)) = 0 THEN 0.0
+             |       ELSE round(
+             |         list_sum(list_transform(range(len(q.v)), i -> q.v[i+1] * c.v[i+1]))
+             |         / (sqrt(list_sum(list_transform(q.v, x -> x*x)))
+             |            * sqrt(list_sum(list_transform(c.v, x -> x*x)))), 6) END AS cos
+             |  FROM pairs p
+             |  JOIN e q ON q.vec_id = p.qid
+             |  JOIN e c ON c.vec_id = p.nn_id)
+             |SELECT s.qid, s.nn_id, s.cos,
+             |       CAST(row_number() OVER (PARTITION BY s.qid ORDER BY s.cos DESC, s.nn_id)
+             |            AS INTEGER) AS rn,
+             |       k.n_copies
+             |FROM scored s JOIN cls k ON k.id = s.nn_id""".stripMargin)),
+
     QueryDef("q78_multimodal_ann",
       // End-to-end multimodal composition: documents -> opaque binary
       // media rows -> batched featurize (the declared-stub decoder — a

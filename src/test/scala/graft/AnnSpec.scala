@@ -165,4 +165,28 @@ class AnnSpec extends AnyFunSuite {
       .as[(Long, Long, Int)].collect().toSet
     assert(q42 == brute)
   }
+
+  test("dedup-before-index (q89 shape): results invariant under exact replication") {
+    // replicate every corpus vector 5x at disjoint id offsets (the
+    // ScaleUp shape), collapse by the raw vector with rep = min(id),
+    // and search the rep index: the (qid, nn_id, cos) results must be
+    // IDENTICAL to searching the original distinct corpus, and every
+    // class must report multiplicity 5 — search cost scales with
+    // distinct vectors, not copies.
+    val copies = (0 until 5).map { k =>
+      emb.select((col("id") + lit(k * 1000000L)).as("vec_id"), col("v"))
+    }.reduce(_ unionAll _)
+    val classes = copies.groupBy(col("v"))
+      .agg(min("vec_id").as("id"), count(lit(1)).as("n_copies"))
+    assert(classes.filter(col("n_copies") =!= 5).count() == 0)
+    val repIndex = classes.select(col("id"), col("v"))
+    // originals all have id < 1000000, so rep == the original id
+    val dedup = Ann.ivfTopK(repIndex, queries, 3)
+      .select(col("qid"), col("nn_id"), round(col("cos"), 6).as("cos"))
+      .as[(Long, Long, Double)].collect().toSet
+    val direct = Ann.ivfTopK(emb, queries, 3)
+      .select(col("qid"), col("nn_id"), round(col("cos"), 6).as("cos"))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(dedup == direct)
+  }
 }
