@@ -828,6 +828,63 @@ object DataQueries {
               |JOIN cnt c2 ON c2.doc_id = id2
               |WHERE round(CAST(inter AS DOUBLE) / (c1.n + c2.n - inter), 6) >= 0.02""".stripMargin)),
 
+    QueryDef("q90_decontaminate",
+      // Benchmark decontamination (GPT-3 appx C / The Pile style): a
+      // training corpus must drop documents that share n-gram shingles
+      // with the evaluation benchmark, or downstream eval numbers are
+      // fiction. Deterministic benchmark split: doc_id % 97 == 0 (~1%).
+      // For every OTHER doc, count its DISTINCT 5-gram shingles that
+      // appear anywhere in the benchmark side; contaminated = any
+      // overlap. Scale shape — asymmetric, unlike the near-dup pair
+      // ops: the benchmark shingle set is small and broadcasts; the
+      // training side stays a narrow explode -> semi-join -> keyed
+      // count (no pair materialization, no self-join). Sub-5-token
+      // docs have no shingles and report 0 overlap. A 7-token leak
+      // phrase is planted into every 50th doc IN BOTH ENGINES (q70/q73
+      // convention) — doc 0 is benchmark (0 % 97 == 0), so the other
+      // planted docs are guaranteed contaminated (>= the phrase's 3
+      // internal 5-grams) at every SF, exercising the positive branch.
+      (s, d) => {
+        val docs = table(s, d, "documents")
+          .select(col("doc_id"),
+            split(when(pmod(col("doc_id"), lit(50)) === 0,
+              concat(col("text"),
+                lit(" leaked benchmark passage alpha beta gamma delta")))
+              .otherwise(col("text")), " ").as("t"))
+        val sh5 = transform(sequence(lit(0), size(col("t")) - 5), i =>
+          concat_ws(" ", element_at(col("t"), i + 1), element_at(col("t"), i + 2),
+            element_at(col("t"), i + 3), element_at(col("t"), i + 4),
+            element_at(col("t"), i + 5)))
+        val withSh = docs.filter(size(col("t")) >= 5)
+          .select(col("doc_id"), explode(array_distinct(sh5)).as("sh"))
+        val bench = withSh.filter(pmod(col("doc_id"), lit(97)) === 0)
+          .select(col("sh")).distinct()
+        val overlap = withSh.filter(pmod(col("doc_id"), lit(97)) =!= 0)
+          .join(bench, Seq("sh"), "left_semi")
+          .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+        docs.filter(pmod(col("doc_id"), lit(97)) =!= 0).select(col("doc_id"))
+          .join(overlap, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+            (coalesce(col("n_overlap"), lit(0L)) >= 1).as("contaminated"))
+      },
+      Some("""WITH docs AS (SELECT doc_id, string_split(
+             |         CASE WHEN doc_id % 50 = 0
+             |              THEN text || ' leaked benchmark passage alpha beta gamma delta'
+             |              ELSE text END, ' ') AS t FROM documents),
+             |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(len(t) - 4),
+             |         i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]
+             |              || ' ' || t[i+5]))) AS sh
+             |       FROM docs WHERE len(t) >= 5),
+             |bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 97 = 0),
+             |ovl AS (SELECT s.doc_id, count(*) AS n_overlap
+             |        FROM sh s JOIN bench b USING (sh)
+             |        WHERE s.doc_id % 97 <> 0 GROUP BY s.doc_id)
+             |SELECT d.doc_id, coalesce(o.n_overlap, 0) AS n_overlap,
+             |       coalesce(o.n_overlap, 0) >= 1 AS contaminated
+             |FROM docs d LEFT JOIN ovl o USING (doc_id)
+             |WHERE d.doc_id % 97 <> 0""".stripMargin)),
+
     // -------------------------------------------------- similarity
     QueryDef("q42_cosine_topk",
       // brute-force cosine top-3 per query vector (native CosineSim —
