@@ -224,4 +224,28 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.indexOf("HashAggregate") < firstExchange || aggBelow > firstExchange,
       s"no partial aggregation before shuffle:\n$plan")
   }
+
+  test("q88 dup-aware near-dup: document text never shuffles") {
+    val df = SparkEntry.queries("q88_dup_aware_neardup")(spark, sf)
+    val plan = planOf(df)
+    // the final plan reads the two checkpointed narrow frames (classes
+    // + rep fingerprints); text was consumed inside their checkpoint
+    // jobs and must not appear in any remaining exchange
+    val exchanges = plan.split("\\n").filter(_.contains("Exchange"))
+    exchanges.foreach { e =>
+      assert(!e.contains("text"), s"document text crosses a shuffle: $e")
+    }
+  }
+
+  test("q90 decontamination: benchmark side broadcasts, no pair materialization") {
+    val plan = planOf(SparkEntry.queries("q90_decontaminate")(spark, sf))
+    // the contamination check must be a LeftSemi against the BROADCAST
+    // benchmark shingle set — an inner/sort-merge pair join would
+    // materialize (train shingle x bench shingle) rows at corpus scale
+    val semiLines = plan.split("\\n").filter(_.contains("LeftSemi"))
+    assert(semiLines.nonEmpty && semiLines.forall(_.contains("BroadcastHashJoin")),
+      s"benchmark overlap is not a broadcast semi join:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
 }
