@@ -847,26 +847,14 @@ object DataQueries {
       (s, d) => {
         val docs = table(s, d, "documents")
           .select(col("doc_id"),
-            split(when(pmod(col("doc_id"), lit(50)) === 0,
+            when(pmod(col("doc_id"), lit(50)) === 0,
               concat(col("text"),
                 lit(" leaked benchmark passage alpha beta gamma delta")))
-              .otherwise(col("text")), " ").as("t"))
-        val sh5 = transform(sequence(lit(0), size(col("t")) - 5), i =>
-          concat_ws(" ", element_at(col("t"), i + 1), element_at(col("t"), i + 2),
-            element_at(col("t"), i + 3), element_at(col("t"), i + 4),
-            element_at(col("t"), i + 5)))
-        val withSh = docs.filter(size(col("t")) >= 5)
-          .select(col("doc_id"), explode(array_distinct(sh5)).as("sh"))
-        val bench = withSh.filter(pmod(col("doc_id"), lit(97)) === 0)
-          .select(col("sh")).distinct()
-        val overlap = withSh.filter(pmod(col("doc_id"), lit(97)) =!= 0)
-          .join(bench, Seq("sh"), "left_semi")
-          .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
-        docs.filter(pmod(col("doc_id"), lit(97)) =!= 0).select(col("doc_id"))
-          .join(overlap, Seq("doc_id"), "left")
-          .select(col("doc_id"),
-            coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
-            (coalesce(col("n_overlap"), lit(0L)) >= 1).as("contaminated"))
+              .otherwise(col("text")).as("text"))
+        // operator core (shingle size / benchmark predicate / overlap
+        // threshold all parameters) lives in dedup.DupAware
+        graft.dedup.DupAware.decontaminate(docs,
+          isBench = pmod(col("doc_id"), lit(97)) === 0, n = 5, minOverlap = 1L)
       },
       Some("""WITH docs AS (SELECT doc_id, string_split(
              |         CASE WHEN doc_id % 50 = 0
@@ -1004,34 +992,9 @@ object DataQueries {
         val corpus = base.unionAll(
           base.filter(pmod(col("doc_id"), lit(10)) === 0)
             .select((col("doc_id") + lit(10000000L)).as("doc_id"), col("text")))
-        // the class table feeds THREE consumers (rep semi-join + both
-        // copies joins) and the fingerprint frame feeds bandedPairs'
-        // self-join twice: checkpoint both (q79/q80's checkpointed-tf
-        // pattern) so the corpus text is scanned once per frame, not
-        // once per consumer — at web scale the difference is ~6 full
-        // text scans vs 2. Both frames are narrow: (32-hex, id, count)
-        // and (id, 8-byte fingerprint).
-        val classes = corpus
-          .select(col("doc_id"), md5(col("text")).as("fp"))
-          .groupBy("fp")
-          .agg(min("doc_id").as("rep_id"), count(lit(1)).as("copies"))
-          .localCheckpoint(true)
-        // reps' text rides a doc_id equi-join of the class table back
-        // onto the corpus (no text in the groupBy shuffle above)
-        val reps = corpus.join(
-          classes.select(col("rep_id").as("doc_id")), Seq("doc_id"), "left_semi")
-        val fps = reps.select(col("doc_id"),
-          graft.functions.Md5SimHash.of(col("text")).as("sh"))
-          .localCheckpoint(true)
-        val copies = classes.select(col("rep_id"), col("copies"))
-        graft.functions.SimHash.bandedPairs(fps, maxHamming = 3)
-          .join(copies.select(col("rep_id").as("id1"),
-            col("copies").as("copies1")), Seq("id1"))
-          .join(copies.select(col("rep_id").as("id2"),
-            col("copies").as("copies2")), Seq("id2"))
-          .select(col("id1"), col("id2"), col("hamming"),
-            col("copies1"), col("copies2"),
-            (col("copies1") * col("copies2")).as("expanded_pairs"))
+        // operator core lives in dedup.DupAware (checkpointed class
+        // table + rep fingerprints — text scanned once per frame)
+        graft.dedup.DupAware.nearDupRepPairs(corpus, maxHamming = 3)
       },
       Some("""WITH corpus AS (
              |  SELECT doc_id, text FROM documents
