@@ -125,10 +125,17 @@ object ConnectedComponents {
     */
   def run(edges: DataFrame, maxIter: Int = 50, driverThreshold: Long = 1 << 16): DataFrame = {
     val spark = edges.sparkSession
-    if (driverThreshold > 0 && edges.limit(driverThreshold.toInt).count() < driverThreshold) {
+    if (driverThreshold > 0) {
       // MIN ordering must match the column's native ordering, so the
       // union-find runs on the original type (numeric vs string), not on
       // a lossy string cast ("10" < "2" but 2 < 10).
+      //
+      // r8: probe BY collecting (the Subgraphs dispatch discipline) —
+      // the limit(th).count() probe job's scan was immediately redone
+      // by the collect; a bounded limit(th) collect answers the size
+      // question and already is the union-find input, one job instead
+      // of two. A not-small graph wastes one bounded th-row collect and
+      // falls through — the same bound the count probe paid.
       val (c0, c1) = (edges.columns(0), edges.columns(1))
       val idType = edges.schema(c0).dataType
       val isNumeric = idType.isInstanceOf[org.apache.spark.sql.types.NumericType]
@@ -154,18 +161,23 @@ object ConnectedComponents {
         pairs.flatMap(e => Seq(e._1, e._2)).distinct.map(n => (n, find(n)))
       }
       import spark.implicits._
+      val th = driverThreshold.toInt
       val typed =
         if (isNumeric) {
           val local = edges.select(col(c0).cast("long"), col(c1).cast("long"))
-            .collect().map(r => (r.getLong(0), r.getLong(1)))
-          spark.createDataset(unionFind(local)).toDF("id", "component")
+            .limit(th).collect().map(r => (r.getLong(0), r.getLong(1)))
+          if (local.length >= th) None
+          else Some(spark.createDataset(unionFind(local)).toDF("id", "component"))
         } else {
           val local = edges.select(col(c0).cast("string"), col(c1).cast("string"))
-            .collect().map(r => (r.getString(0), r.getString(1)))
-          spark.createDataset(unionFind(local)).toDF("id", "component")
+            .limit(th).collect().map(r => (r.getString(0), r.getString(1)))
+          if (local.length >= th) None
+          else Some(spark.createDataset(unionFind(local)).toDF("id", "component"))
         }
-      return typed.select(col("id").cast(idType).as("id"),
-        col("component").cast(idType).as("component"))
+      typed.foreach { t =>
+        return t.select(col("id").cast(idType).as("id"),
+          col("component").cast(idType).as("component"))
+      }
     }
     // Distributed path over STRING ids: dictionary-encode to dense longs
     // first (the file's own scale note, r1 VERDICT item 10). ~6 star

@@ -28,6 +28,24 @@ object AntiJoinReconcile {
       .unionAll(takeRefilled.select("subject", "predicate", "object"))
   }
 
+  /** Single-join form of [[reconcile]] for KEY-UNIQUE inputs — both
+    * sides at most one row per (subject, object), which is q06's shape
+    * (original = a groupBy over the key, refilled = a distinct) and the
+    * reference's data guarantee. Algebra: with unique keys, "original
+    * rows not in refilled keep their predicate" + "pairs in both take
+    * the refilled predicate" is exactly one left outer join with
+    * coalesce — the anti+semi pair (which evaluates EACH input twice:
+    * once as a join probe, once as the other join's key set) collapses
+    * to a single join evaluating each input once. Identical multiset
+    * output (PruneSpec differential test); same row-count invariant.
+    */
+  def reconcileUnique(original: DataFrame, refilled: DataFrame): DataFrame =
+    original
+      .join(refilled.select(col("subject"), col("object"),
+        col("predicate").as("__rp")), Seq("subject", "object"), "left")
+      .select(col("subject"),
+        coalesce(col("__rp"), col("predicate")).as("predicate"), col("object"))
+
   /** Reconcile + the reference's row-count invariant. Throws
     * IllegalStateException on violation (requires (s,o) to be unique per
     * side, which the reference's data guarantees).

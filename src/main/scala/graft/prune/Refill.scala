@@ -70,6 +70,12 @@ object Refill {
       .limit(maxRows)
       .select(col("subject"), col("predicate"), col("object"),
         lit("core").as("fill_source"))
+      // r8: core (<= maxRows rows — bounded) fans out to FOUR consumers
+      // (output union, count, node set, anti-join key set); without this
+      // checkpoint each consumer re-ran the per-subject cap window over
+      // the whole candidate table (q59 plan: 46 Exchanges -> 12,
+      // plans/r08/q59_priority_fill_*.txt)
+      .localCheckpoint(true)
     val coreCnt = core.agg(count(lit(1)).as("__ccnt"))
     val coreNodes = core.select(col("subject").as("__n"))
       .unionAll(core.select(col("object").as("__n"))).distinct()

@@ -940,8 +940,15 @@ object DataQueries {
         // SimHash.fingerprintsPortable's relational form (OpsSpec
         // parity test) and to the oracle SQL, with no exploded token
         // rows and no 32-vote aggregation shuffle
+        // r8: the band self-join consumes fp TWICE (left + right side),
+        // and without materialization each side re-runs Md5SimHash —
+        // one MD5 per token per doc — over the whole corpus. Checkpoint
+        // the (doc_id, sh) frame (16 bytes/row, text never crosses) so
+        // the per-token hashing runs exactly once (q88 already did this
+        // via DupAware; this brings q48's raw variant in line).
         val fp = table(s, d, "documents").select(col("doc_id"),
           graft.functions.Md5SimHash.of(col("text")).as("sh"))
+          .localCheckpoint(true)
         graft.functions.SimHash.bandedPairs(fp, maxHamming = 3)
       },
       Some("""WITH tok AS (

@@ -79,7 +79,11 @@ object KgQueries {
         val refilled = t.filter(col("predicate") === "purchase")
           .select(col("subject"), lit("refilled").as("predicate"), col("object"))
           .distinct()
-        AntiJoinReconcile.reconcile(orig, refilled)
+        // r8: both sides are key-unique here (groupBy resp. distinct), so
+        // the single-left-join form applies — the anti+semi pair evaluated
+        // the orig aggregation and the refilled distinct TWICE each
+        // (12 Exchanges -> 5, plans/r08/q06_antijoin_reconcile_*.txt)
+        AntiJoinReconcile.reconcileUnique(orig, refilled)
       },
       Some(s"""WITH t AS ($triplesSql),
               |orig AS (SELECT subject, min(predicate) AS predicate, "object"
@@ -204,25 +208,47 @@ object KgQueries {
       // positive rank-sum, and the AUC in micro-units via integral
       // division — U = rank_sum - p(p+1)/2, auc_micro = U*1e6 div (p*n).
       (s, d) => {
-        // rnk via the partition-offset global rank (Ids.globalOrdered)
-        // instead of Window.orderBy with no partitioning — the latter is
-        // a single-partition sort of the whole scored set (WindowExec
-        // warns and moves every row to one task; nonviable at corpus
-        // scale). (score, event_id) is a distinct total order.
-        // project to the three live columns BEFORE ranking: globalOrdered
-        // localCheckpoints its input, so every extra column is
-        // materialized corpus-wide for nothing
-        val t = Ids.globalOrdered(
-          triples(s, d)
-            .select(col("event_id"),
-              (col("value") > 100.0).cast("int").as("pos"),
-              ((col("event_id") % 100).cast("double") / 100.0).as("score")),
-          Seq(col("score"), col("event_id")), "rnk")
-        t.agg(
-          sum(col("pos")).cast("long").as("p"),
-          sum(lit(1) - col("pos")).cast("long").as("n"),
-          sum(when(col("pos") === 1, col("rnk")).otherwise(0)).cast("long")
-            .as("rank_sum_pos"))
+        // r8: single-pass deterministic-bucket ranking replaces the
+        // globalOrdered machinery (range-sample pass + localCheckpoint
+        // materialization + offsets collect + join-back — 4 jobs). The
+        // order key (score, event_id) is DERIVED: score = (event_id %
+        // 100)/100.0 is strictly monotone in event_id % 100, so
+        // bucketing by __b = event_id % 100 (refined by __g = event_id
+        // DIV chunk for bounded per-task sorts at scale) is an exact,
+        // deterministic, sample-free prefix of the total order — two
+        // passes over the same data always agree, no checkpoint needed
+        // (guide §8: use what the optimizer cannot know). rank(row) =
+        // (rows in earlier groups) + (local rank), and since the output
+        // is aggregates only, the per-group offsets fold in WITHOUT a
+        // join-back: rank_sum_pos = SUM_g[pos_rank_sum_g + pos_cnt_g *
+        // offset_g]. Plan: ONE data shuffle (hash by (__b,__g), window
+        // + partial agg in the same stage), then a metadata-sized
+        // single-partition window over the per-group totals (#groups =
+        // 100 * ceil(max_id/chunk) — bounded rows of longs, the same
+        // scale class as globalOrdered's offsets collect).
+        val chunkW = sys.env.getOrElse("GRAFT_RANK_CHUNK", "67108864").toLong
+        val base = triples(s, d).select(
+          (col("value") > 100.0).cast("int").as("pos"),
+          col("event_id"),
+          expr("event_id % 100").as("__b"),
+          expr(s"event_id DIV ${chunkW}L").as("__g"))
+        val w = Window.partitionBy(col("__b"), col("__g")).orderBy(col("event_id"))
+        val grp = base
+          .withColumn("__rk", row_number().over(w).cast("long"))
+          .groupBy(col("__b"), col("__g"))
+          .agg(count(lit(1)).as("__cnt"),
+            sum(col("pos")).cast("long").as("__pcnt"),
+            sum(when(col("pos") === 1, col("__rk")).otherwise(0L)).cast("long")
+              .as("__prksum"))
+        val offW = Window.orderBy(col("__b"), col("__g"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        grp
+          .withColumn("__off", coalesce(sum(col("__cnt")).over(offW), lit(0L)))
+          .agg(
+            sum(col("__pcnt")).cast("long").as("p"),
+            (sum(col("__cnt")) - sum(col("__pcnt"))).cast("long").as("n"),
+            sum(col("__prksum") + col("__pcnt") * col("__off")).cast("long")
+              .as("rank_sum_pos"))
           .select(col("p"), col("n"), col("rank_sum_pos"),
             // degenerate inputs (no positives or no negatives) emit NULL
             // instead of an ANSI DivideByZeroError
@@ -253,19 +279,40 @@ object KgQueries {
       // integers (same discipline as q15): per-positive precision in
       // micro-units via integral division, AP = their sum DIV p.
       (s, d) => {
-        // rank + running positive count in ONE distributed pass
-        // (Ids.globalOrdered running-sum form) — replaces two
-        // single-partition global windows; desc order flows through
-        // range partitioner, local sort, and local window identically
-        // projected to the live columns before the checkpoint (see q15)
-        val t = Ids.globalOrdered(
-          triples(s, d)
-            .select(col("event_id"),
-              (col("value") > 100.0).cast("int").as("pos"),
-              ((col("event_id") % 100).cast("double") / 100.0).as("score")),
-          Seq(col("score").desc, col("event_id")), "rnk",
-          Seq(col("pos").cast("long") -> "cum_pos"))
-        t.filter(col("pos") === 1)
+        // r8: deterministic-bucket ranking (see q15) replaces
+        // globalOrdered's sample + localCheckpoint + collect machinery.
+        // Order here is (score DESC, event_id ASC) = (__b DESC, __g ASC,
+        // event_id ASC) — same exact derived buckets, descending bucket
+        // order. prec_micro = (cum_pos*1e6) DIV rnk is nonlinear PER
+        // POSITIVE ROW, so unlike q15 the global offsets must reach the
+        // rows: pass 1 aggregates per-group (count, pos_count) —
+        // map-side partial agg, metadata-sized shuffle — into prefix
+        // offsets; pass 2 re-scans (2 narrow columns, no checkpoint
+        // needed because the bucketing is deterministic), computes local
+        // rank + local running positive count per group in one window,
+        // and a broadcast join shifts both by the group offsets.
+        val chunkW = sys.env.getOrElse("GRAFT_RANK_CHUNK", "67108864").toLong
+        val base = triples(s, d).select(
+          (col("value") > 100.0).cast("int").as("pos"),
+          col("event_id"),
+          expr("event_id % 100").as("__b"),
+          expr(s"event_id DIV ${chunkW}L").as("__g"))
+        val offW = Window.orderBy(col("__b").desc, col("__g"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val offs = base.groupBy(col("__b"), col("__g"))
+          .agg(count(lit(1)).as("__cnt"), sum(col("pos")).cast("long").as("__pcnt"))
+          .withColumn("__off", coalesce(sum(col("__cnt")).over(offW), lit(0L)))
+          .withColumn("__poff", coalesce(sum(col("__pcnt")).over(offW), lit(0L)))
+          .select(col("__b"), col("__g"), col("__off"), col("__poff"))
+        val w = Window.partitionBy(col("__b"), col("__g")).orderBy(col("event_id"))
+        val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        base
+          .withColumn("__rk", row_number().over(w).cast("long"))
+          .withColumn("__cp", sum(col("pos")).over(cum).cast("long"))
+          .filter(col("pos") === 1)
+          .join(broadcast(offs), Seq("__b", "__g"))
+          .select((col("__off") + col("__rk")).as("rnk"),
+            (col("__poff") + col("__cp")).as("cum_pos"))
           .withColumn("prec_micro", expr("(cum_pos * 1000000) DIV rnk"))
           .agg(count(lit(1)).cast("long").as("p"),
             sum(col("prec_micro")).cast("long").as("prec_micro_sum"))
@@ -298,17 +345,41 @@ object KgQueries {
       // the values hash identically across engines: index(q) =
       // (cnt-1)*q DIV 100 + 1 over the (score, edge_id)-sorted ranking.
       (s, d) => {
-        val se = scored(s, d)
-        // distributed global rank (see q15) — (score, edge_id) distinct;
-        // projected before the checkpoint, and cnt reads the checkpoint
-        // back instead of recomputing the scored subtree
-        val ranked = Ids.globalOrdered(se.select("score", "edge_id"),
-          Seq(col("score"), col("edge_id")), "rn")
-        val cnt = ranked.agg(count(lit(1)).as("cnt"))
-        ranked.crossJoin(cnt)
-          .select(col("score"), col("rn"), col("cnt"),
-            explode(array(Seq(0, 25, 50, 75, 100).map(lit): _*)).as("pct"))
-          .filter(col("rn") === expr("((cnt - 1) * pct) DIV 100 + 1"))
+        // r8: exact-rank selection without ranking the whole table.
+        // score = k/100.0 with k = min(event_id % 100) of the edge group,
+        // so round(score*100) recovers k exactly and bucket __b = k is a
+        // deterministic prefix of the (score, edge_id) total order (see
+        // q15; <= 100 buckets by construction). The distinct-edge frame
+        // is checkpointed ONCE (narrow: score + edge_id) and consumed
+        // twice: (1) per-bucket counts — a bounded <=100-row collect,
+        // the same metadata class as globalOrdered's offsets collect —
+        // from which the 5 target ranks resolve ON THE DRIVER to
+        // (bucket, local rank) pairs; (2) a window over ONLY the <=5
+        // buckets that contain a target rank, i.e. ~5% of rows ranked
+        // instead of 100%, with no crossJoin(cnt) re-evaluation of the
+        // ranking subtree and no explode.
+        val se = scored(s, d).select("score", "edge_id").localCheckpoint(true)
+        val cnts = se.groupBy(round(col("score") * 100).cast("int").as("__b"))
+          .agg(count(lit(1)).as("__cnt"))
+          .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+        val total = cnts.map(_._2).sum
+        val cum = cnts.scanLeft(0L)(_ + _._2).init // offset before bucket i
+        def locate(r: Long): Option[(Int, Long)] =
+          cnts.indices.find(i => r > cum(i) && r <= cum(i) + cnts(i)._2)
+            .map(i => (cnts(i)._1, r - cum(i)))
+        val tgt = Seq(0, 25, 50, 75, 100).flatMap { p =>
+          locate(Math.floorDiv((total - 1) * p, 100L) + 1L)
+            .map { case (b, lr) => (p, b, lr) }
+        }
+        import s.implicits._
+        val tgtDf = tgt.toDF("pct", "__tb", "__trk")
+        val needed = tgt.map(_._2).distinct
+        se.withColumn("__b", round(col("score") * 100).cast("int"))
+          .filter(col("__b").isin(needed.map(Int.box): _*))
+          .withColumn("__rk", row_number().over(
+            Window.partitionBy(col("__b")).orderBy(col("edge_id"))).cast("long"))
+          .join(broadcast(tgtDf),
+            col("__b") === col("__tb") && col("__rk") === col("__trk"))
           .select(col("pct"), col("score"))
       },
       Some(s"""WITH se AS ($scoredSql),
@@ -392,11 +463,19 @@ object KgQueries {
       // MRR / Hits@k over per-subject ranking; true edge = min(object)
       // per subject (test_ranking.py:504-545 protocol shape)
       (s, d) => {
+        // r8: truth (min object per subject) now rides the SAME
+        // partition-by-subject window as the rank instead of a second
+        // groupBy over a re-evaluated scored subtree + join — the scored
+        // aggregation runs once and one exchange serves both (join on
+        // (subject, object) vs min-per-subject == equality filter,
+        // because truth had exactly one row per subject)
         val se = scored(s, d)
-        val ranked = se.withColumn("rnk", row_number().over(
-          Window.partitionBy("subject").orderBy(col("score").desc, col("object"))))
-        val truth = se.groupBy("subject").agg(min("object").as("object"))
-        ranked.join(truth, Seq("subject", "object"))
+        val w = Window.partitionBy("subject")
+        val ranked = se
+          .withColumn("rnk", row_number().over(
+            w.orderBy(col("score").desc, col("object"))))
+          .withColumn("__min_o", min("object").over(w))
+        ranked.filter(col("object") === col("__min_o"))
           .agg(
             round(avg(lit(1.0) / col("rnk")), 6).as("mrr"),
             round(avg((col("rnk") <= 1).cast("double")), 6).as("hits1"),
@@ -566,7 +645,12 @@ object KgQueries {
       // is large enough that the cap path is taken (the expansion branch
       // is covered by RefillSpec on a hand graph).
       (s, d) => {
+        // r8: the distinct triple set is BOTH priorityFill inputs and
+        // feeds the cap window plus two anti/semi join branches —
+        // checkpoint it once instead of re-running the events scan +
+        // distinct per consumer
         val t = triples(s, d).select("subject", "predicate", "object").distinct()
+          .localCheckpoint(true)
         graft.prune.Refill.priorityFill(t, t,
           targets = Seq("U:1", "U:2", "U:3", "U:4", "U:5",
             "E:1", "E:2", "E:3", "E:4", "E:5"),
@@ -886,16 +970,51 @@ object KgQueries {
       // — then rows (start, start + chunk]. start = md5-hex-prefix
       // integer of the seed mod (n - chunk + 1), portable to DuckDB.
       (s, d) => {
+        // r8: bucket-pruned extraction replaces ranking the WHOLE table
+        // to keep 500 rows (globalRowNumber = sample pass + checkpoint
+        // + offsets + window over 100% of rows, then crossJoin(count)
+        // re-aggregated the base again). event_id DIV bucket is a
+        // deterministic prefix of the event_id order, so: pass 1
+        // aggregates per-bucket counts (bounded collect, the metadata
+        // class globalRowNumber's offsets collect was already in; the
+        // bucket width is the scale knob), the seeded start rank and
+        // the covering CONTIGUOUS bucket run resolve on the driver, and
+        // pass 2 re-scans ONLY that event_id range — a parquet
+        // min/max-pruned pushdown filter (guide §6) — ranking ~2
+        // buckets instead of the corpus.
         val chunk = 500
+        val bw = sys.env.getOrElse("GRAFT_CHUNK64_BUCKET", "65536").toLong
         val base = table(s, d, "events").select("event_id", "event_type")
-        val ranked = Ids.globalRowNumber(base, "event_id", "rn")
-        val n = base.agg(count(lit(1)).as("__n"))
-        ranked.crossJoin(n) // 1-row count
-          .withColumn("__start", expr(
-            s"""CAST(conv(substring(md5('chunk64|42'), 1, 12), 16, 10) AS BIGINT)
-               | % greatest(__n - $chunk + 1, 1)""".stripMargin))
-          .filter(col("rn") > col("__start") && col("rn") <= col("__start") + chunk)
-          .select(col("rn"), col("event_id"), col("event_type"))
+        val cnts = base.groupBy(expr(s"event_id DIV ${bw}L").as("__g"))
+          .agg(count(lit(1)).as("__c"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+        val n = cnts.map(_._2).sum
+        // same seeded start as the oracle: md5-hex-prefix integer of
+        // 'chunk64|42' mod (n - chunk + 1)
+        val hex12 = java.security.MessageDigest.getInstance("MD5")
+          .digest("chunk64|42".getBytes("UTF-8"))
+          .take(6).map(b => f"$b%02x").mkString
+        val start = java.lang.Long.parseLong(hex12, 16) % math.max(n - chunk + 1, 1L)
+        val (rLo, rHi) = (start + 1, start + chunk) // wanted global ranks
+        val cum = cnts.scanLeft(0L)(_ + _._2).init // offset before bucket i
+        val sel = cnts.indices.filter(i => cum(i) < rHi && cum(i) + cnts(i)._2 >= rLo)
+        import s.implicits._
+        if (sel.isEmpty)
+          base.filter(lit(false))
+            .select(lit(0L).as("rn"), col("event_id"), col("event_type"))
+        else {
+          val (gLo, gHi) = (cnts(sel.head)._1, cnts(sel.last)._1)
+          val offDf = sel.map(i => (cnts(i)._1, cum(i))).toDF("__g", "__off")
+          base
+            .filter(col("event_id") >= gLo * bw && col("event_id") < (gHi + 1) * bw)
+            .withColumn("__g", expr(s"event_id DIV ${bw}L"))
+            .withColumn("__rk", row_number().over(
+              Window.partitionBy(col("__g")).orderBy(col("event_id"))).cast("long"))
+            .join(broadcast(offDf), Seq("__g"))
+            .withColumn("rn", col("__off") + col("__rk"))
+            .filter(col("rn") > start && col("rn") <= start + chunk)
+            .select(col("rn"), col("event_id"), col("event_type"))
+        }
       },
       Some("""WITH base AS (SELECT event_id, event_type FROM events),
              |ranked AS (SELECT event_id, event_type,

@@ -144,6 +144,12 @@ class PruneSpec extends AnyFunSuite {
       val k0 = orig.select("subject", "object").as[(String, String)].collect().sorted.toSeq
       val k1 = out.select("subject", "object").as[(String, String)].collect().sorted.toSeq
       assert(k0 == k1, s"trial $trial")
+      // r8 differential: the single-left-join form is row-for-row the
+      // anti+semi pair on key-unique inputs (both sides are here)
+      val viaJoin = AntiJoinReconcile.reconcileUnique(orig, refilled)
+        .as[(String, String, String)].collect().sorted.toSeq
+      val viaAntiSemi = out.as[(String, String, String)].collect().sorted.toSeq
+      assert(viaJoin == viaAntiSemi, s"trial $trial")
     }
   }
 
