@@ -77,16 +77,21 @@ object Bfs {
       s"allPairsDistances: BFS still had a non-empty frontier at maxDepth=$maxDepth " +
         "— distances are truncated and downstream per-component stats would " +
         "silently fragment; raise maxDepth above the true diameter")
-    if (driverThreshold > 0 &&
-        und.limit(driverThreshold.toInt).count() < driverThreshold) {
+    if (driverThreshold > 0) {
       // the fast path collects the edges anyway — the node-count guard
       // runs for free on the collected array instead of as an extra
-      // distributed distinct+count job
+      // distributed distinct+count job. r8: probe BY collecting (the
+      // Subgraphs/CC dispatch discipline) — limit(th).collect answers
+      // the size question and already is the adjacency input, one job
+      // instead of the old limit+count probe plus a second full collect.
       val spark = und.sparkSession
       import spark.implicits._
       val idType = und.schema(und.columns(0)).dataType
       val edges = und.select(col("src").cast("string"), col("dst").cast("string"))
-        .collect().map(r => (r.getString(0), r.getString(1)))
+        .limit(driverThreshold.toInt).collect()
+        .map(r => (r.getString(0), r.getString(1)))
+      if (edges.length >= driverThreshold.toInt) ()
+      else {
       val adj = edges.groupBy(_._1).map { case (s, es) => (s, es.map(_._2)) }
       val allNodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
       guard(allNodes.length.toLong)
@@ -112,6 +117,7 @@ object Bfs {
       return spark.createDataset(out.result()).toDF("a", "node", "dist")
         .select(col("a").cast(idType).as("a"),
           col("node").cast(idType).as("node"), col("dist"))
+      }
     }
     val nodes = und.select(col("src").as("a"))
       .unionAll(und.select(col("dst").as("a"))).distinct()

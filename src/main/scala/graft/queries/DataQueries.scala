@@ -14,6 +14,17 @@ object DataQueries {
 
   // ---------------------------------------------------------- helpers
 
+  /** Partition count for the CPU-bound multimodal decode stages (r8):
+    * one task per available core instead of the old literal 8, which
+    * quartered decode parallelism on the 32-core bench box and was
+    * tuned for neither local mode nor a cluster. defaultParallelism =
+    * total executor cores, the right denominator for pure per-row
+    * codec work (results are per-row deterministic — partitioning
+    * cannot change any emitted value).
+    */
+  private def mmParts(s: org.apache.spark.sql.SparkSession): Int =
+    s.sparkContext.defaultParallelism
+
   /** whitespace tokens */
   private def toks: Column = split(col("text"), " ")
 
@@ -700,12 +711,18 @@ object DataQueries {
         // plan until banding (unbounded over the whole table since
         // round 3). NULL = fewer than 3 tokens (== the oracle's
         // len(t) >= 3 filter).
+        // r8: the band frame below is consumed FOUR times (two union
+        // branches x two self-join sides); without materialization each
+        // consumer re-ran Md5MinHash — one MD5 per 3-shingle per doc —
+        // over the whole corpus. Checkpoint the narrow (doc_id, s0, s1)
+        // signatures (text never crosses) so the hashing runs once.
         val sig = table(s, d, "documents")
           .select(col("doc_id"),
             graft.functions.Md5MinHash.of(col("text"), n = 3, k = 2).as("sg"))
           .filter(col("sg").isNotNull)
           .select(col("doc_id"), element_at(col("sg"), 1).as("s0"),
             element_at(col("sg"), 2).as("s1"))
+          .localCheckpoint(true)
         val bands = sig.select(col("doc_id"), concat(lit("0:"), col("s0")).as("band"))
           .unionAll(sig.select(col("doc_id"), concat(lit("1:"), col("s1")).as("band")))
         val b2 = bands.withColumnRenamed("doc_id", "id2")
@@ -746,12 +763,16 @@ object DataQueries {
       // The driver hash-compare against the raw recursive-closure SQL
       // is the equivalence proof on real data at every SF.
       (s, d) => {
+        // r8: sig feeds the class table AND the doc->rep attachment —
+        // checkpoint the narrow signature frame so text is scanned (and
+        // md5'd) once for both instead of once per consumer
         val sig = table(s, d, "documents")
           .select(col("doc_id"), md5(col("text")).as("fp"),
             graft.functions.Md5MinHash.of(col("text"), n = 3, k = 2).as("sg"))
           .filter(col("sg").isNotNull)
           .select(col("doc_id"), col("fp"), element_at(col("sg"), 1).as("s0"),
             element_at(col("sg"), 2).as("s1"))
+          .localCheckpoint(true)
         // one row per distinct content; checkpointed — feeds the band
         // self-join and the attachment join (s0/s1 are class-constant,
         // min() just picks the value)
@@ -1167,7 +1188,7 @@ object DataQueries {
         // times (seed + Lloyd collects + assignment) and the two
         // vector-emitting join-backs would each replay the stub
         // decode of every document again
-        val emb = graft.multimodal.Multimodal.featurize(media, 8)
+        val emb = graft.multimodal.Multimodal.featurize(media, mmParts(s))
           .toDF()
           .select(col("media_id").as("id"),
             transform(col("features"), _.cast("double")).as("v"))
@@ -1222,7 +1243,7 @@ object DataQueries {
       (s, d) => {
         val media = graft.multimodal.Multimodal.mediaFromDocsImages(
           s, table(s, d, "documents"))
-        graft.multimodal.Multimodal.imageBlockSums(media, 8)
+        graft.multimodal.Multimodal.imageBlockSums(media, mmParts(s))
       },
       Some("""SELECT doc_id AS media_id, 16 AS width, 16 AS height,
              |  array_to_string(list_transform(range(16), b ->
@@ -1246,7 +1267,7 @@ object DataQueries {
       (s, d) => {
         val media = graft.multimodal.Multimodal.mediaFromDocsAudio(
           s, table(s, d, "documents"))
-        graft.multimodal.Multimodal.audioWindowSums(media, 8)
+        graft.multimodal.Multimodal.audioWindowSums(media, mmParts(s))
       },
       Some("""SELECT doc_id AS media_id, 256 AS n_samples,
              |  array_to_string(list_transform(range(16), w ->
@@ -1269,7 +1290,7 @@ object DataQueries {
       (s, d) => {
         val media = graft.multimodal.Multimodal.mediaFromDocsVideo(
           s, table(s, d, "documents"))
-        graft.multimodal.Multimodal.videoFrameSums(media, 8)
+        graft.multimodal.Multimodal.videoFrameSums(media, mmParts(s))
       },
       Some("""SELECT doc_id AS media_id, CAST(f AS INTEGER) AS frame_idx,
              |  array_to_string(list_transform(range(16), b ->
