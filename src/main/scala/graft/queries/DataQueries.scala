@@ -1357,13 +1357,19 @@ object DataQueries {
     QueryDef("q50_blend",
       // linear score ensembling (ensembling/blend.py:40-52)
       (s, d) => {
-        val base = triples(s, d).groupBy("subject", "predicate", "object")
-        val a = base.agg((min(col("event_id") % 100).cast("double") / 100.0).as("score"))
-        val b = base.agg((min(col("event_id") % 97).cast("double") / 97.0).as("score"))
-        graft.prune.Ensemble.blend(a, b, 0.6, 0.4, 0.0)
-          .withColumn("s1", round(col("s1"), 6))
-          .withColumn("s2", round(col("s2"), 6))
-          .withColumn("score", round(col("score"), 6))
+        // r8: the two scorer frames group the SAME source by the SAME
+        // full key, so their inner join is algebraically one groupBy
+        // computing both aggregates — one events aggregation instead of
+        // two plus an equi-join (Ensemble.blend stays the general-input
+        // form; double arithmetic order replicated term for term:
+        // round(round(0.6*s1 + 0.4*s2 + 0.0, 9), 6))
+        triples(s, d).groupBy("subject", "predicate", "object")
+          .agg((min(col("event_id") % 100).cast("double") / 100.0).as("__s1"),
+            (min(col("event_id") % 97).cast("double") / 97.0).as("__s2"))
+          .select(col("subject"), col("predicate"), col("object"),
+            round(col("__s1"), 6).as("s1"), round(col("__s2"), 6).as("s2"),
+            round(round(lit(0.6) * col("__s1") + lit(0.4) * col("__s2") + lit(0.0),
+              9), 6).as("score"))
       },
       Some(s"""WITH t AS ($triplesSql),
               |a AS (SELECT subject, predicate, "object",
@@ -1387,10 +1393,16 @@ object DataQueries {
       // overflow/parity arithmetic). Small moduli (10, 7, 3) keep every
       // cross-product term far inside long and double-exact range.
       (s, d) => {
+        // r8: fitBlend touches g twice (sufficient-statistics pass +
+        // the weight-attach output pass) — checkpoint the small exact-
+        // integer frame so the events aggregation runs once (integer
+        // sums are order-independent, so materialization cannot move a
+        // single bit)
         val g = triples(s, d).groupBy("subject", "predicate", "object")
           .agg((min(col("event_id")) % 10).as("a"),
             (min(col("event_id")) % 7).as("b"),
             when(min(col("event_id")) % 3 === 0, 1L).otherwise(0L).as("y"))
+          .localCheckpoint(true)
         graft.prune.Ensemble.fitBlend(g, 10, 7)
       },
       Some(s"""WITH t AS ($triplesSql),

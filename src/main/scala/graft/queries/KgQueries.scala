@@ -113,7 +113,10 @@ object KgQueries {
     QueryDef("q08_membership_count",
       // backbone ⊆ merged semi-join count (src/gnn/extract.py:213-225)
       (s, d) => {
+        // r8: t feeds both the backbone filter and the semi-join right
+        // side — checkpoint so the distinct shuffle runs once, not twice
         val t = triples(s, d).select("subject", "predicate", "object").distinct()
+          .localCheckpoint(true)
         val backbone = t.filter(col("predicate") === "error")
         backbone.join(t, Seq("subject", "predicate", "object"), "left_semi")
           .agg(count(lit(1)).as("n_present"))
@@ -158,7 +161,11 @@ object KgQueries {
       // salted SMJ == plain join (north_star skew discipline): degree of
       // each subject joined back onto distinct triples
       (s, d) => {
+        // r8: t is both the salted join's big side and the degree
+        // aggregate's input — checkpoint so the distinct shuffle runs
+        // once (the salted-SMJ shape under test is untouched)
         val t = triples(s, d).select("subject", "predicate", "object").distinct()
+          .localCheckpoint(true)
         val deg = t.groupBy(col("subject")).agg(count(lit(1)).as("subj_degree"))
         graft.link.SkewJoin.salted(t, deg, Seq("subject"), 8,
           Seq(col("subject"), col("predicate"), col("object")))
@@ -1029,9 +1036,12 @@ object KgQueries {
       // both-endpoints-in-set induced subgraph (extract.py:133-137)
       (s, d) => {
         val e = graphEdges(s, d)
+        // r8: the node set feeds BOTH semi-joins — checkpoint so the
+        // union+distinct shuffle runs once, not once per endpoint
         val nodes = e.select(col("src").as("node"))
           .unionAll(e.select(col("dst").as("node"))).distinct()
           .filter(col("node").rlike("^(N|R):"))
+          .localCheckpoint(true)
         e.join(nodes.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
           .join(nodes.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")
           .select("src", "dst")
