@@ -24,7 +24,12 @@ object PageDedup {
     * never the html payloads.
     */
   def exactDropped(pages: DataFrame): DataFrame = {
+    // r8: fp feeds both the keeper aggregation and the drop join —
+    // checkpoint the narrow (url, fp) rows so the text scan +
+    // fingerprint md5 run once, not once per consumer (same shape as
+    // minhashDropped's band checkpoint)
     val fp = pages.select(col("url"), fingerprint(col("text")).as("__fp"))
+      .localCheckpoint(true)
     val keepers = fp.groupBy(col("__fp")).agg(min(col("url")).as("__keeper"))
     fp.join(keepers, "__fp")
       .filter(col("url") > col("__keeper"))
@@ -67,7 +72,14 @@ object PageDedup {
     * deduplicated by exact fingerprint instead (see [[bands]]).
     */
   def minhashDropped(pages: DataFrame): DataFrame = {
-    val b = bands(pages)
+    // r8: the band frame feeds BOTH the keeper aggregation and the
+    // drop join's probe side — without materialization each consumer
+    // re-ran the MinHash signature over the full page text (the single
+    // hottest per-row expression in the pipeline; the banding pass is
+    // allocation-bound at high core counts). Checkpoint the narrow
+    // (url, band) rows so the signature computes once; text still
+    // never shuffles.
+    val b = bands(pages).localCheckpoint(true)
     val keepers = b.groupBy(col("band")).agg(min(col("url")).as("__keeper"))
     val near = b.join(keepers, "band")
       .filter(col("url") > col("__keeper"))

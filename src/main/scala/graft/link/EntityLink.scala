@@ -43,11 +43,20 @@ object EntityLink {
     * struct(score, entity_id, cosine).
     */
   def bestCandidate(cands: Column, context: Column): Column = {
-    val scored = transform(cands, c =>
+    // r8: two-step transform so the set cosine (an array_intersect per
+    // candidate — the expensive part of this interpreted HOF chain)
+    // evaluates ONCE per candidate instead of once for the score and
+    // again for the carried cosine field; same value feeds both, so
+    // the output is bit-identical.
+    val withCos = transform(cands, c => struct(
+      setCosine(context, c("keywords")).as("cosine"),
+      c("prior").as("prior"),
+      c("entity_id").as("entity_id")))
+    val scored = transform(withCos, c =>
       struct(
-        (c("prior") * (lit(0.1) + setCosine(context, c("keywords")))).as("score"),
+        (c("prior") * (lit(0.1) + c("cosine"))).as("score"),
         c("entity_id").as("entity_id"),
-        setCosine(context, c("keywords")).as("cosine")))
+        c("cosine").as("cosine")))
     aggregate(scored,
       struct(lit(-1.0).as("score"), lit("").as("entity_id"), lit(0.0).as("cosine")),
       (acc, x) =>
@@ -65,7 +74,11 @@ object EntityLink {
       assertions: DataFrame,
       aliasDict: DataFrame,
       entityKeywords: DataFrame): DataFrame =
-    linkWithDict(assertions, dictByAlias(aliasDict, entityKeywords))
+    // r8: checkpoint the (small) dictionary — linkWithDict broadcasts
+    // it twice (subject + object side) and each broadcast build would
+    // otherwise re-run the alias join + groupBy
+    linkWithDict(assertions,
+      dictByAlias(aliasDict, entityKeywords).localCheckpoint(true))
 
   /** [[link]] against a PRE-BUILT [[dictByAlias]] frame — callers that
     * link repeatedly (the streaming path re-executes the static join
