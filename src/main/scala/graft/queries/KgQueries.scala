@@ -131,12 +131,26 @@ object KgQueries {
       // corrupted candidate must NOT be an existing edge
       // (graph_sampler.py:80)
       (s, d) => {
-        val t = triples(s, d).select("subject", "predicate", "object").distinct()
-        val candidates = triples(s, d).select(
-          col("subject"), col("predicate"),
-          concat(lit("E:"), ((col("event_id") + 1) % 100).cast("string")).as("object"))
-          .distinct()
-        candidates.join(t, Seq("subject", "predicate", "object"), "left_anti")
+        // r8: distinct(cand) ANTI distinct(t) as ONE tagged-union keyed
+        // aggregation — both sides project the same scan, so instead of
+        // two distinct shuffles + an anti-join, union the rows with an
+        // is_existing tag and keep keys seen as candidate but never as
+        // existing (set-algebra identity over distinct sets; one
+        // map-side-combinable shuffle of 2x narrow rows)
+        val tr = triples(s, d)
+        tr.select(col("subject"), col("predicate"), col("object"),
+            lit(1).as("__is_t"))
+          .unionAll(tr.select(
+            col("subject"), col("predicate"),
+            concat(lit("E:"), ((col("event_id") + 1) % 100).cast("string"))
+              .as("object"),
+            lit(0).as("__is_t")))
+          .groupBy("subject", "predicate", "object")
+          .agg(max(col("__is_t")).as("__has_t"))
+          // max == 0 <=> every row for this key is a candidate row (so
+          // at least one exists) and no existing-triple row was seen
+          .filter(col("__has_t") === 0)
+          .select("subject", "predicate", "object")
       },
       Some(s"""WITH t AS (SELECT DISTINCT subject, predicate, "object" FROM ($triplesSql) x),
               |cand AS (SELECT DISTINCT subject, predicate,
@@ -580,9 +594,19 @@ object KgQueries {
     QueryDef("q23_set_intersect",
       // common pairs (cell 20 l.33)
       (s, d) => {
+        // r8: INTERSECT of two projections of the SAME scan as one
+        // tagged-union keyed aggregation (keys seen with both tags) —
+        // one map-side-combinable shuffle instead of two distinct-style
+        // aggregations feeding a join
         val t = triples(s, d)
-        t.filter(col("predicate") === "purchase").select("subject", "object")
-          .intersect(t.filter(col("predicate") === "click").select("subject", "object"))
+        t.filter(col("predicate") === "purchase")
+          .select(col("subject"), col("object"), lit(1).as("__side"))
+          .unionAll(t.filter(col("predicate") === "click")
+            .select(col("subject"), col("object"), lit(2).as("__side")))
+          .groupBy("subject", "object")
+          .agg(min(col("__side")).as("__lo"), max(col("__side")).as("__hi"))
+          .filter(col("__lo") === 1 && col("__hi") === 2)
+          .select("subject", "object")
       },
       Some(s"""WITH t AS ($triplesSql)
               |SELECT subject, "object" FROM t WHERE predicate = 'purchase'
