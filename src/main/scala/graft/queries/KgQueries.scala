@@ -770,11 +770,25 @@ object KgQueries {
           .unionAll(table(s, d, "region").select(
             col("r_regionkey").cast("long").as("region"),
             concat(lit("R:"), col("r_regionkey").cast("string")).as("node")))
-        val nd = det.groupBy("region").agg(count(lit(1)).cast("long").as("n_detected"))
-        val nt = truth.groupBy("region").agg(count(lit(1)).cast("long").as("n_truth"))
-        val ni = det.join(truth, Seq("region", "node"), "left_semi")
-          .groupBy("region").agg(count(lit(1)).cast("long").as("n_inter"))
-        nd.join(nt, "region").join(ni, "region")
+        // r8: |A|, |B| and |A∩B| per region as ONE tagged-union
+        // aggregation chain instead of three aggregations + a semi-join
+        // + two result joins. Both sides are unique per (region, node)
+        // (cc is one row per id; customer/nation/region keys are
+        // unique), so per-key max-tags then per-region sums reproduce
+        // the three counts exactly; the old inner joins kept only
+        // regions with an intersection row, hence the n_inter > 0
+        // filter.
+        val u = det.select(col("region"), col("node"),
+            lit(1).as("__d"), lit(0).as("__t"))
+          .unionAll(truth.select(col("region"), col("node"),
+            lit(0).as("__d"), lit(1).as("__t")))
+        u.groupBy("region", "node")
+          .agg(max(col("__d")).as("__hd"), max(col("__t")).as("__ht"))
+          .groupBy("region")
+          .agg(sum(col("__hd")).cast("long").as("n_detected"),
+            sum(col("__ht")).cast("long").as("n_truth"),
+            sum(col("__hd") * col("__ht")).cast("long").as("n_inter"))
+          .filter(col("n_inter") > 0)
           .select(col("region"), col("n_detected"), col("n_truth"), col("n_inter"),
             expr("""CASE WHEN n_detected + n_truth = 0 THEN NULL
                    |ELSE (2 * n_inter * 1000000) DIV (n_detected + n_truth)
