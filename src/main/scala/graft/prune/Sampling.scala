@@ -95,7 +95,14 @@ object Sampling {
     */
   def rankingBlocks(edges: DataFrame, nTest: Int, blockSize: Int = 50,
       attemptFactor: Int = 4, fillRounds: Int = 4): DataFrame = {
+    // r8: the distinct triple set feeds FOUR consumers (test pick,
+    // entity dictionary, entity count, existing-edge rejection) — pin
+    // it once. This does NOT split the fused attempt plan the scaladoc
+    // warns about (that finding was for materializing the attempt/
+    // survivor frames); measured same-window A/B REPS=5: 0.86->0.66 s
+    // warm, 2.98->2.74 s cold.
     val t = edges.select("subject", "predicate", "object").distinct()
+      .localCheckpoint(true)
     val test = t
       .orderBy(md5(concat_ws("|",
         col("subject"), col("predicate"), col("object"), lit("test57"))))
