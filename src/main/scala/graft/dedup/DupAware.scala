@@ -61,10 +61,14 @@ object DupAware {
     * for every doc NOT in the benchmark split, count its DISTINCT
     * n-gram shingles appearing anywhere in the benchmark side;
     * `contaminated` = overlap >= minOverlap. Asymmetric scale shape:
-    * the benchmark shingle set broadcasts into a LeftSemi hash join
-    * (PlanSpec-asserted) and the training side stays a narrow
-    * explode -> semi-join -> keyed count — no pair materialization.
-    * Sub-n-token docs have no shingles and report 0.
+    * the benchmark shingle set feeds a LeftSemi join and the training
+    * side stays a narrow explode -> semi-join -> keyed count — no pair
+    * materialization. The semi join is planner-chosen: under
+    * spark.sql.autoBroadcastJoinThreshold it is a BroadcastHashJoin
+    * (PlanSpec asserts this regime, the one the bench fixtures run in);
+    * a benchmark shingle set larger than the threshold falls back to a
+    * shuffled LeftSemi — still no pair set, but the benchmark side then
+    * costs one exchange. Sub-n-token docs have no shingles and report 0.
     */
   def decontaminate(docs: DataFrame, isBench: Column, n: Int = 5,
       minOverlap: Long = 1L, idCol: String = "doc_id",

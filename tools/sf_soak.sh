@@ -35,10 +35,20 @@ done
 python3 - "$OUT" <<'EOF'
 import json, sys
 out = sys.argv[1]
-a = json.load(open(f"{out}/bench_sf01.json"))["queries"]
-b = json.load(open(f"{out}/bench_sf1.json"))["queries"]
+da = json.load(open(f"{out}/bench_sf01.json"))
+db = json.load(open(f"{out}/bench_sf1.json"))
+a, b = da["queries"], db["queries"]
+# a query can be present in only one run (failed at the other SF):
+# report it explicitly instead of raising KeyError after both long runs.
+for side, only in (("sf0.1", sorted(set(a) - set(b))),
+                   ("sf1", sorted(set(b) - set(a)))):
+    for q in only:
+        print(f"[only {side}] {q}")
+for name, d in (("sf0.1", da), ("sf1", db)):
+    if d.get("failed"):
+        print(f"[failed at {name}] {d['failed']}")
 rows = []
-for q in sorted(a):
+for q in sorted(set(a) & set(b)):
     r = b[q] / a[q] if a[q] > 0 else float("inf")
     rows.append((r, q, a[q], b[q]))
 rows.sort(reverse=True)
